@@ -1,0 +1,92 @@
+"""Relational block structure (BS) data containers.
+
+Reference: /root/reference/src/libfm/src/relation.h (VLDB 2013 paper
+"Scaling Factorization Machines to Relational Data"). A RelationData is a
+shared block of feature columns with its own design matrix; each training
+dataset holds, per relation, a `data_row_to_relation_row` join map. The
+joined attribute space offsets each relation's features by `attr_offset`
+(/root/reference/src/libfm/libfm.cpp:213-216).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from libfm_tpu.data import binary as binio
+from libfm_tpu.data.dataset import DataMetaInfo
+
+
+class RelationData:
+    """A shared feature block. Reference:
+    /root/reference/src/libfm/src/relation.h:32-113."""
+
+    def __init__(self, indptr, cols, vals, num_features: int):
+        self.indptr = np.asarray(indptr, dtype=np.int64)
+        self.cols = np.asarray(cols, dtype=np.int32)
+        self.vals = np.asarray(vals, dtype=np.float32)
+        self.num_features = int(num_features)
+        self.attr_offset = 0
+        self.meta = DataMetaInfo(self.num_features)
+
+    @property
+    def num_cases(self) -> int:
+        return len(self.indptr) - 1
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    @property
+    def row_of_entry(self) -> np.ndarray:
+        return np.repeat(
+            np.arange(self.num_cases, dtype=np.int32),
+            np.diff(self.indptr).astype(np.int64),
+        )
+
+    @classmethod
+    def load(cls, prefix: str) -> "RelationData":
+        """Load `<prefix>.x` (+ optional `.groups`) like the reference
+        (/root/reference/src/libfm/src/relation.h:71-113)."""
+        indptr, cols, vals, num_rows, num_cols = binio.read_sparse_binary(
+            prefix + ".x"
+        )
+        rd = cls(indptr, cols, vals, num_cols)
+        if os.path.exists(prefix + ".groups"):
+            rd.meta.load_groups(prefix + ".groups")
+        return rd
+
+    @classmethod
+    def from_dataset(cls, ds) -> "RelationData":
+        return cls(ds.indptr, ds.cols, ds.vals, ds.num_features)
+
+    def save(self, prefix: str) -> None:
+        binio.write_sparse_binary(
+            prefix + ".x", self.indptr, self.cols, self.vals, self.num_features
+        )
+
+
+@dataclass
+class RelationJoin:
+    """Join map from training rows to relation-block rows. Reference:
+    /root/reference/src/libfm/src/relation.h:53-59,127-150."""
+
+    data: RelationData
+    row_map: np.ndarray  # int32 [num_train_rows]
+
+    @classmethod
+    def load(cls, data: RelationData, path: str, expected_rows: int) -> "RelationJoin":
+        if binio.is_dvector_binary(path, type_size=4):
+            row_map = binio.read_dvector_binary(path, dtype=np.uint32).astype(np.int32)
+        else:
+            row_map = np.loadtxt(path, dtype=np.int64).reshape(-1).astype(np.int32)
+        if len(row_map) != expected_rows:
+            raise ValueError(
+                f"{path}: join map has {len(row_map)} rows, expected {expected_rows}"
+            )
+        return cls(data, row_map)
+
+    def permuted(self, perm) -> "RelationJoin":
+        return RelationJoin(self.data, self.row_map[perm])

@@ -1,0 +1,45 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+Must set the env vars before jax initialises its backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the box presets axon (TPU tunnel)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tiny_dataset():
+    """A small one-hot user x item dataset (3 users, 4 items)."""
+    from libfm_tpu.data.dataset import Dataset
+
+    rows = [
+        (5.0, [(0, 1.0), (3, 1.0)]),
+        (3.0, [(1, 1.0), (4, 1.0)]),
+        (1.0, [(2, 1.0), (5, 1.0)]),
+        (4.0, [(0, 1.0), (4, 1.0)]),
+        (2.0, [(1, 1.0), (6, 1.0)]),
+        (5.0, [(2, 1.0), (3, 1.0)]),
+    ]
+    indptr = [0]
+    cols, vals, ys = [], [], []
+    for y, feats in rows:
+        ys.append(y)
+        for c, v in feats:
+            cols.append(c)
+            vals.append(v)
+        indptr.append(len(cols))
+    return Dataset.from_arrays(indptr, cols, vals, ys, num_features=7)
