@@ -1,0 +1,165 @@
+"""Sharded (DP x TP) SGD training over a (data, model) mesh.
+
+The single-device step (learners/sgd.py, restating
+/root/reference/src/fm_core/fm_sgd.h:33-51) is jitted with
+NamedShardings: the batch is split over `data`, the parameter tables
+w/V are row-split over `model`. XLA's SPMD partitioner turns
+
+- `params.v[ids]` into a sharded gather (all-gather of the active rows
+  over ICI on the model axis),
+- the `.at[ids].add` scatter into a reduce-scatter back onto the owning
+  shards,
+- the w0/metric reductions into psums over the data axis.
+
+No hand-written collectives: the layout is the contract, the compiler
+schedules the communication (the scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from libfm_tpu.data.batching import BatchedCSR, batch_dataset
+from libfm_tpu.models.fm import FMConfig, FMParams
+from libfm_tpu.learners.sgd import SGDLearner, sgd_batch_update
+from libfm_tpu.parallel.mesh import fm_shardings, make_mesh
+from libfm_tpu.tasks import TASK_REGRESSION
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_features_for_mesh(cfg: FMConfig, mesh) -> FMConfig:
+    """Pad the feature count so w/V shard evenly over the model axis.
+    Padded rows are never referenced (feature ids < num_features)."""
+    m = mesh.shape["model"]
+    n_pad = _round_up(max(cfg.num_features, m), m)
+    if n_pad == cfg.num_features:
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(cfg, num_features=n_pad)
+
+
+def make_sharded_train_step(cfg: FMConfig, task: int, mesh):
+    """One jitted mini-batch SGD step with explicit input/output
+    shardings over `mesh`."""
+    param_sh, batch_sh, repl = fm_shardings(mesh)
+
+    def step(params, ids, vals, y, row_mask, lrs, min_t, max_t):
+        return sgd_batch_update(
+            params, ids, vals, y, row_mask, cfg,
+            lrs[0], lrs[1], lrs[2], task, min_t, max_t,
+        )
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, *batch_sh, repl, repl, repl),
+        out_shardings=param_sh,
+    )
+
+
+def make_sharded_eval_step(cfg: FMConfig, task: int, mesh):
+    """Masked (sum_sq_err, sum_abs_err, count) partial sums for one batch;
+    the caller accumulates across batches and finalises RMSE/MAE."""
+    from libfm_tpu.models.fm import fm_batch_terms
+
+    param_sh, batch_sh, repl = fm_shardings(mesh)
+
+    def step(params, ids, vals, y, row_mask, min_t, max_t):
+        pred, _ = fm_batch_terms(params, ids, vals, cfg)
+        m = row_mask.astype(pred.dtype)
+        if task == TASK_REGRESSION:
+            err = (jnp.clip(pred, min_t, max_t) - y) * m
+            return (err * err).sum(), jnp.abs(err).sum(), m.sum()
+        correct = ((pred >= 0) & (y >= 0)) | ((pred < 0) & (y < 0))
+        return (correct.astype(pred.dtype) * m).sum(), jnp.zeros(()), m.sum()
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, *batch_sh, repl, repl),
+        out_shardings=(repl, repl, repl),
+    )
+
+
+class ShardedSGDLearner(SGDLearner):
+    """SGD learner whose parameters and batches live sharded on a mesh.
+
+    Differences from the single-device learner: the epoch is a Python loop
+    of jitted sharded steps (one dispatch per batch — batches stay device-
+    resident between steps), and batch/feature counts are padded to the
+    mesh shape.
+    """
+
+    def __init__(self, cfg: FMConfig, mesh=None, **kwargs):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        cfg = pad_features_for_mesh(cfg, self.mesh)
+        super().__init__(cfg, **kwargs)
+        # batch must divide evenly over the data axis
+        d = self.mesh.shape["data"]
+        self.batch_size = _round_up(self.batch_size, d)
+        self._step = make_sharded_train_step(cfg, self.task, self.mesh)
+        self._eval_step = make_sharded_eval_step(cfg, self.task, self.mesh)
+
+    def learn(self, train, test):
+        import time
+
+        if train.relations:
+            raise ValueError("relations are not supported with SGD")
+        if self.params is None:
+            self.init_params()
+        param_sh, batch_sh, repl = fm_shardings(self.mesh)
+        self.params = jax.device_put(self.params, param_sh)
+        self.min_target = train.min_target
+        self.max_target = train.max_target
+
+        tb = batch_dataset(train, self.batch_size)
+        eb = batch_dataset(test, self.batch_size)
+        t_batches = _device_put_batches(tb, batch_sh)
+        e_batches = _device_put_batches(eb, batch_sh)
+        lrs = jnp.asarray(self.lrs, dtype=jnp.float32)
+        min_t, max_t = self.min_target, self.max_target
+
+        history = []
+        for it in range(self.num_iter):
+            t0 = time.perf_counter()
+            for b in t_batches:
+                self.params = self._step(
+                    self.params, *b, lrs, min_t, max_t
+                )
+            jax.block_until_ready(self.params.v)
+            dt = time.perf_counter() - t0
+            tr = self._eval_batches(t_batches, min_t, max_t)
+            te = self._eval_batches(e_batches, min_t, max_t)
+            history.append((tr, te, dt))
+            if self.verbose:
+                print(f"#Iter={it:3d}\tTrain={tr:.6g}\tTest={te:.6g}")
+        return history
+
+    def _eval_batches(self, batches, min_t, max_t):
+        sq = ab = cnt = 0.0
+        for b in batches:
+            s, a, c = self._eval_step(self.params, *b, min_t, max_t)
+            sq, ab, cnt = sq + float(s), ab + float(a), cnt + float(c)
+        cnt = max(cnt, 1.0)
+        if self.task == TASK_REGRESSION:
+            return float(np.sqrt(sq / cnt))
+        return sq / cnt
+
+
+def _device_put_batches(b: BatchedCSR, batch_sh):
+    out = []
+    for i in range(b.num_batches):
+        out.append(
+            (
+                jax.device_put(jnp.asarray(b.ids[i]), batch_sh[0]),
+                jax.device_put(jnp.asarray(b.vals[i]), batch_sh[1]),
+                jax.device_put(jnp.asarray(b.y[i]), batch_sh[2]),
+                jax.device_put(jnp.asarray(b.row_mask[i]), batch_sh[3]),
+            )
+        )
+    return out

@@ -1,16 +1,23 @@
 """Test configuration: run everything on a simulated 8-device CPU mesh.
 
-Must set the env vars before jax initialises its backends.
+XLA_FLAGS must be in the environment before the CPU backend initialises;
+the platform choice must ALSO be forced via jax.config because this box's
+site customisation programmatically selects the axon (TPU-tunnel) backend
+and ignores the JAX_PLATFORMS env var.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the box presets axon (TPU tunnel)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
