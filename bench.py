@@ -1,0 +1,78 @@
+"""Headline benchmark: MCMC Gibbs FM, k=64, ML-10M-scale (BASELINE config #3).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference libFM binary (g++ -O3, single thread) measured on
+this machine at 94.1 s/Gibbs-iteration on the same synthetic ML-10M
+dataset => 95.7K examples/s on one CPU core (see BASELINE.md "Measured
+baseline"). vs_baseline is the per-chip speedup over that number; the
+north-star target is >=10.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_EXAMPLES_PER_S = 95_700.0  # reference libFM, 1 CPU core (BASELINE.md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ratings", type=int, default=10_000_000)
+    ap.add_argument("--factors", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from libfm_tpu.data.synth import movielens_like
+    from libfm_tpu.learners.mcmc import MCMCLearner
+    from libfm_tpu.models.fm import FMConfig
+
+    train, test = movielens_like(
+        num_users=71567, num_items=10681, num_ratings=args.ratings, seed=1
+    )
+    n = train.num_features
+    cfg = FMConfig(num_features=n, num_factors=args.factors)
+    learner = MCMCLearner(cfg, num_iter=args.iters + 1, seed=1, verbose=False)
+
+    # run learn() manually to separate compile (iter 0) from steady state
+    learner.num_iter = args.iters + 1
+    t_start = time.time()
+    learner.learn(train, test)
+    times = [h["time"] for h in learner.history[1:]]  # drop compile iter
+    dt = float(np.median(times))
+    ex_s = train.num_rows / dt
+    rmse = learner.history[-1]["test_all"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "mcmc_ml10m_k64_examples_per_s_per_chip",
+                "value": round(ex_s, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(ex_s / BASELINE_EXAMPLES_PER_S, 2),
+                "detail": {
+                    "median_iter_s": round(dt, 4),
+                    "iters_timed": len(times),
+                    "test_rmse_mcmc_all": round(float(rmse), 4),
+                    "train_rows": train.num_rows,
+                    "factors": args.factors,
+                    "device": str(jax.devices()[0]),
+                    "total_wall_s": round(time.time() - t_start, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

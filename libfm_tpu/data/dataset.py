@@ -181,8 +181,19 @@ class Dataset:
         """CSC view: returns (indptr[num_features+1], rows[nnz], vals[nnz]).
 
         Counting-sort construction like the reference's create_data_t
-        (/root/reference/src/libfm/src/Data.h:292-341), vectorised.
+        (/root/reference/src/libfm/src/Data.h:292-341), vectorised; uses
+        the native C++ kernel when available.
         """
+        try:
+            from libfm_tpu.native import fastdata
+
+            if fastdata.available():
+                return fastdata.csr_transpose(
+                    self.indptr, self.cols, self.vals,
+                    self.num_rows, self.num_features,
+                )
+        except ImportError:
+            pass
         return _csr_transpose(
             self.indptr, self.cols, self.vals, self.num_rows, self.num_features
         )

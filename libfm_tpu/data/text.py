@@ -86,6 +86,15 @@ def _parse_libfm_text_numpy(path: str):
 
 def write_libfm_text(path: str, indptr, cols, vals, target) -> None:
     """Write CSR arrays to libFM text format (inverse of parse_libfm_text)."""
+    try:
+        from libfm_tpu.native import fastdata
+
+        if fastdata.available() and fastdata.write_libfm_text(
+            path, indptr, cols, vals, target
+        ):
+            return
+    except ImportError:
+        pass
     n = len(target)
     with open(path, "w") as f:
         for i in range(n):

@@ -232,6 +232,7 @@ class SGDLearner:
                 self.rlog.log("rmse_train", tr)
                 self.rlog.log("time_learn", dt)
                 self.rlog.new_line()
+        self.history = history
         return history
 
     def evaluate(self, ds: Dataset) -> float:

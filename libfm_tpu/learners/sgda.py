@@ -128,7 +128,7 @@ class SGDALearner(SGDLearner):
             w_g = params.w[ids]
             w_dash = w_g - lr * (grad_w[ids] + 2.0 * reg_w[g] * w_g)
             v_g = params.v[ids]  # [B, L, k]
-            v_dash = v_g - lr * (grad_v[ids] + 2.0 * reg_v[g][..., None] * v_g)
+            v_dash = v_g - lr * (grad_v[ids] + 2.0 * reg_v[g] * v_g)
 
             vx_d = v_dash * vals[..., None]
             sum_f_dash = vx_d.sum(axis=1)  # [B, k]
@@ -218,4 +218,5 @@ class SGDALearner(SGDLearner):
                 self.rlog.log("time_learn", dt)
                 self.rlog.new_line()
         self.reg_w, self.reg_v = reg_w, reg_v
+        self.history = history
         return history

@@ -1,0 +1,98 @@
+"""Golden tests: our learners vs the reference libFM binary.
+
+Builds the reference (plain `g++ -O3`, /root/reference/Makefile:1-8) into
+a temp dir, runs both implementations on the same synthetic dataset, and
+asserts final-quality agreement within run-to-run variance (RNGs differ,
+so trajectories are compared statistically, not bitwise — SURVEY.md §4).
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from libfm_tpu.data.synth import movielens_like
+from libfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
+from libfm_tpu.learners.sgd import SGDLearner
+from libfm_tpu.models.fm import FMConfig
+
+REF = "/root/reference"
+BUILD = "/tmp/refbuild_test"
+
+
+@pytest.fixture(scope="module")
+def ref_bin():
+    if not os.path.isdir(REF) or shutil.which("g++") is None:
+        pytest.skip("reference source or g++ unavailable")
+    binary = os.path.join(BUILD, "bin", "libFM")
+    if not os.path.exists(binary):
+        shutil.copytree(REF, BUILD, dirs_exist_ok=True)
+        subprocess.run(
+            ["make", "all"], cwd=BUILD, check=True, capture_output=True
+        )
+    return binary
+
+
+@pytest.fixture(scope="module")
+def data_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden")
+    train, test = movielens_like(num_users=200, num_items=150, num_ratings=20000, seed=5)
+    trp, tep = str(d / "g.train"), str(d / "g.test")
+    train.to_libfm_text(trp)
+    test.to_libfm_text(tep)
+    return train, test, trp, tep
+
+
+def run_ref(ref_bin, trp, tep, method, dim, extra=()):
+    out = subprocess.run(
+        [ref_bin, "-task", "r", "-train", trp, "-test", tep,
+         "-method", method, "-dim", dim, "-seed", "1", *extra],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    rmses = []
+    for line in out.splitlines():
+        if line.startswith("#Iter"):
+            rmses.append(float(line.rsplit("Test=", 1)[1].split()[0]))
+    return rmses
+
+
+def test_golden_mcmc(ref_bin, data_files):
+    train, test, trp, tep = data_files
+    ref = run_ref(ref_bin, trp, tep, "mcmc", "1,1,8", ("-iter", "30"))
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    ours = MCMCLearner(cfg, num_iter=30, seed=1, verbose=False)
+    ours.learn(train, test)
+    assert abs(ours.history[-1]["test_all"] - ref[-1]) < 0.05, (
+        ours.history[-1]["test_all"], ref[-1]
+    )
+
+
+def test_golden_als(ref_bin, data_files):
+    train, test, trp, tep = data_files
+    ref = run_ref(
+        ref_bin, trp, tep, "als", "1,1,8", ("-iter", "20", "-regular", "0,5,10")
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    ours = ALSLearner(cfg, num_iter=20, seed=1, verbose=False)
+    ours.set_regularization([0.0, 5.0, 10.0], 1)
+    ours.learn(train, test)
+    assert abs(ours.history[-1]["test_this"] - ref[-1]) < 0.05, (
+        ours.history[-1]["test_this"], ref[-1]
+    )
+
+
+def test_golden_sgd(ref_bin, data_files):
+    train, test, trp, tep = data_files
+    ref = run_ref(
+        ref_bin, trp, tep, "sgd", "1,1,8",
+        ("-iter", "20", "-learn_rate", "0.003", "-regular", "0,0,0.01"),
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=8, regv=0.01)
+    # batch_size=1 reproduces the reference's per-row updates
+    ours = SGDLearner(
+        cfg, num_iter=20, learn_rate=0.003, batch_size=64, seed=1, verbose=False
+    )
+    hist = ours.learn(train, test)
+    assert abs(hist[-1][1] - ref[-1]) < 0.07, (hist[-1][1], ref[-1])

@@ -1,0 +1,73 @@
+"""Native C++ fast-data-path tests (skipped when g++ is unavailable)."""
+
+import numpy as np
+import pytest
+
+from libfm_tpu.data.text import _parse_libfm_text_numpy
+
+fastdata = pytest.importorskip("libfm_tpu.native.fastdata")
+
+pytestmark = pytest.mark.skipif(
+    not fastdata.available(), reason="native library not built"
+)
+
+
+@pytest.fixture
+def sample_file(tmp_path):
+    p = tmp_path / "sample.libfm"
+    p.write_text(
+        "# a comment line\n"
+        "3.5 0:1 4:0.5 7:2\n"
+        "\n"
+        "-1 2:1.25e-1\n"
+        "0 \n"
+        "2 1:3 # trailing comment 9:9\n"
+    )
+    return str(p)
+
+
+def test_native_matches_python_parser(sample_file):
+    a = fastdata.parse_libfm_text(sample_file)
+    b = _parse_libfm_text_numpy(sample_file)
+    for x, y in zip(a, b):
+        if isinstance(x, np.ndarray):
+            assert np.allclose(x, y)
+        else:
+            assert x == y
+    indptr, cols, vals, target, nf = a
+    assert target.tolist() == [3.5, -1.0, 0.0, 2.0]
+    assert nf == 8
+    assert cols.tolist() == [0, 4, 7, 2, 1]
+    assert np.allclose(vals, [1, 0.5, 2, 0.125, 3])
+
+
+def test_native_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n, nnz_per = 50, 3
+    indptr = np.arange(0, n * nnz_per + 1, nnz_per, dtype=np.int64)
+    cols = rng.integers(0, 100, n * nnz_per).astype(np.int32)
+    vals = rng.standard_normal(n * nnz_per).astype(np.float32)
+    target = rng.standard_normal(n).astype(np.float32)
+    p = str(tmp_path / "rt.libfm")
+    assert fastdata.write_libfm_text(p, indptr, cols, vals, target)
+    i2, c2, v2, t2, _ = fastdata.parse_libfm_text(p)
+    assert np.array_equal(i2, indptr)
+    assert np.array_equal(c2, cols)
+    assert np.allclose(v2, vals, rtol=1e-5)
+    assert np.allclose(t2, target, rtol=1e-5)
+
+
+def test_native_transpose_matches_python():
+    from libfm_tpu.data.dataset import _csr_transpose
+
+    rng = np.random.default_rng(1)
+    n_rows, n_cols = 40, 25
+    lens = rng.integers(0, 6, n_rows)
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    cols = rng.integers(0, n_cols, int(lens.sum())).astype(np.int32)
+    vals = rng.standard_normal(int(lens.sum())).astype(np.float32)
+    a = fastdata.csr_transpose(indptr, cols, vals, n_rows, n_cols)
+    b = _csr_transpose(indptr, cols, vals, n_rows, n_cols)
+    for x, y in zip(a, b):
+        assert np.allclose(x, y)
