@@ -338,6 +338,8 @@ class MCMCLearner:
         attr_group: np.ndarray | None = None,
         max_blocks: int = 128,
         dtype=None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ):
         self.cfg = cfg
         self.task = task
@@ -368,6 +370,8 @@ class MCMCLearner:
         self._w_lambda_vec = None
         self._v_lambda_vec = None
         self.history: list = []
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
 
     # -------------------------------------------------------------- setup
     def set_regularization(self, reg: list[float], num_groups: int):
@@ -515,14 +519,62 @@ class MCMCLearner:
         )
 
         self.history = []
-        for it in range(self.num_iter):
+        start_iter = 0
+        if self.checkpoint_path:
+            state, start_iter = self._maybe_restore(state)
+        for it in range(start_iter, self.num_iter):
             t0 = time.perf_counter()
             state, metrics = iteration(state, y_train, y_test, jnp.asarray(it), eval_mask)
             jax.block_until_ready(state.e)
             dt = time.perf_counter() - t0
             self._log_iteration(it, metrics, dt)
+            if (
+                self.checkpoint_path
+                and self.checkpoint_every
+                and (it + 1) % self.checkpoint_every == 0
+            ):
+                self._save_checkpoint(state, it + 1)
         self._final_state = state
         return self.history
+
+    # ----------------------------------------------------- checkpointing
+    def _ckpt_meta(self, it: int) -> dict:
+        return dict(
+            iter=it, seed=self.seed, num_features=self.cfg.num_features,
+            num_factors=self.cfg.num_factors, task=self.task,
+            do_sample=self.do_sample, do_multilevel=self.do_multilevel,
+        )
+
+    def _save_checkpoint(self, state, it: int) -> None:
+        from libfm_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_state(self.checkpoint_path, state, self._ckpt_meta(it))
+
+    def _maybe_restore(self, state):
+        """Resume from self.checkpoint_path when it exists and matches.
+
+        Covers the full sampler state (params, hyperparameters, e-cache,
+        prediction accumulators, rng key) — the capability the reference
+        disables -save_model for (libfm.cpp:123-133)."""
+        import os
+
+        from libfm_tpu.utils import checkpoint as ckpt
+
+        if not os.path.exists(self.checkpoint_path):
+            return state, 0
+        restored, meta = ckpt.restore_state(self.checkpoint_path, like=state)
+        expect = self._ckpt_meta(int(meta.get("iter", 0)))
+        if any(meta.get(k) != v for k, v in expect.items() if k != "iter"):
+            print(
+                f"WARNING: checkpoint {self.checkpoint_path} does not match "
+                "this run's config; starting fresh."
+            )
+            return state, 0
+        it = int(meta["iter"])
+        if self.verbose:
+            print(f"Resuming from {self.checkpoint_path} at iteration {it}")
+        restored = jax.tree_util.tree_map(jnp.asarray, restored)
+        return restored, it
 
     def _make_iteration_fn(
         self,
