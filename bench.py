@@ -34,7 +34,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from libfm_tpu.data.synth import movielens_like
-    from libfm_tpu.learners.mcmc import MCMCLearner
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
     from libfm_tpu.models.fm import FMConfig
 
     train, test = movielens_like(
@@ -42,7 +42,9 @@ def main():
     )
     n = train.num_features
     cfg = FMConfig(num_features=n, num_factors=args.factors)
-    learner = MCMCLearner(cfg, num_iter=args.iters + 1, seed=1, verbose=False)
+    learner = MCMCVectorLearner(
+        cfg, num_iter=args.iters + 1, seed=1, verbose=False
+    )
 
     # run learn() manually to separate compile (iter 0) from steady state
     learner.num_iter = args.iters + 1

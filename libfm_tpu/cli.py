@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     a("-batch_size", type=int, default=1024)
     a("-dtype", default="float32", choices=["float32", "float64", "bfloat16"])
     a("-mesh", default=None, help="mesh spec 'data,model' e.g. '4,2'")
+    a(
+        "-engine",
+        default="vector",
+        choices=["vector", "exact"],
+        help="MCMC/ALS sweep engine: 'vector' = joint (w_j,v_j) draws, the "
+        "TPU fast path (default); 'exact' = the reference's per-coordinate "
+        "scan order (relational data always uses 'exact')",
+    )
     return p
 
 
@@ -237,7 +245,12 @@ def main(argv=None) -> int:
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
     elif method == "mcmc":
-        from libfm_tpu.learners.mcmc import MCMCLearner
+        if args.engine == "vector" and not train.relations:
+            from libfm_tpu.learners.mcmc_vector import (
+                MCMCVectorLearner as MCMCLearner,
+            )
+        else:
+            from libfm_tpu.learners.mcmc import MCMCLearner
 
         learner = MCMCLearner(
             cfg,

@@ -1,0 +1,528 @@
+"""Vector-sweep MCMC/ALS engine — the TPU fast path.
+
+Draws each feature's whole parameter vector theta_j = (w_j, v_j1..v_jk)
+jointly from its exact Gaussian conditional, one conflict-free block at a
+time (blocked Gibbs; with do_sample=False it is vector-wise block
+coordinate descent, the classic ALS-MF solve). Compared with the
+reference's scalar sweep (/root/reference/src/libfm/src/fm_learn_mcmc.h:
+430-641, one coordinate at a time with O(k) cache passes), this engine:
+
+- keeps ONE device array A = [e | Q] (residual + per-factor linear
+  caches, [num_rows+1, 1+k], sentinel last row for padding);
+- per block does exactly one row-gather of A into the static bucketed
+  slot layout (data/vector_layout.py), computes every feature's
+  sufficient statistics H^T H, H^T e with batched MXU matmuls, draws all
+  theta_j via batched Cholesky, and applies the e/Q updates with one
+  row-scatter;
+- each iteration refreshes A and computes train/test predictions with
+  one row-gather of the packed parameter table [w | V] over the padded
+  [num_rows, L] case layout.
+
+Because features inside a conflict-free block share no training rows,
+drawing them in parallel from the block snapshot is EXACTLY the
+sequential block scan. The joint vector draw is a different (coarser)
+Gibbs blocking than the reference's per-coordinate scan — same
+stationary distribution, usually better mixing per sweep; ALS converges
+at least as fast per sweep (exact block minimisation). Validated against
+the reference binary in tests/test_mcmc_vector.py.
+
+Why this shape: on TPU every gather/scatter/segment op costs ~10-15ns
+per ROW regardless of row width (<=256B), so the scalar engine's O(k)
+row passes per sweep are latency-bound; this engine does O(1) row passes
+per block and puts the O(E*k^2) math on the MXU where it is effectively
+free (measurements in BENCHNOTES.md).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libfm_tpu.data.batching import conflict_free_blocks
+from libfm_tpu.data.dataset import Dataset
+from libfm_tpu.data.vector_layout import (
+    VectorBlockLayout,
+    build_block_layout,
+    padded_rows_layout,
+)
+from libfm_tpu.learners.mcmc import (
+    MCMCLearner,
+    draw_alpha,
+    draw_theta_hyperpriors,
+    _masked_rmse_mae,
+    _masked_acc_ll,
+)
+from libfm_tpu.ops import samplers
+from libfm_tpu.ops.segment import seg_sum
+from libfm_tpu.tasks import TASK_REGRESSION
+
+
+class MCMCVectorLearner(MCMCLearner):
+    """MCMC/ALS with joint (w_j, v_j) vector draws (TPU fast path)."""
+
+    def __init__(self, *args, widths=(8, 64, 512), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.widths = widths
+
+    # ----------------------------------------------------------- layout
+    def _build_vector_layouts(self, train: Dataset):
+        attr_group = self.attr_group_np
+        if attr_group is None:
+            attr_group = np.zeros(self.cfg.num_features, dtype=np.int32)
+        blocks = conflict_free_blocks(train, attr_group=attr_group)
+        layouts = []
+        observed = []
+        for b in blocks:
+            layouts.append(
+                build_block_layout(
+                    b.features, b.entry_rows, b.entry_vals, b.entry_feat,
+                    attr_group[b.features], train.num_rows, self.widths,
+                )
+            )
+            observed.append(b.features)
+        observed = (
+            np.concatenate(observed) if observed else np.empty(0, np.int32)
+        )
+        mask = np.ones(self.cfg.num_features, dtype=bool)
+        if len(observed):
+            mask[observed] = False
+        unobserved = np.nonzero(mask)[0].astype(np.int32)
+        return layouts, unobserved, attr_group
+
+    # ------------------------------------------------------------ learn
+    def learn(self, train: Dataset, test: Dataset):
+        if train.relations:
+            # block-structure data stays on the exact engine
+            return self._learn_relational(train, test)
+        cfg = self.cfg
+        f = self.dtype
+        n, k = cfg.num_features, cfg.num_factors
+        d = 1 + k  # joint (w, v) dimension
+        self.min_target = train.min_target
+        self.max_target = train.max_target
+        task = self.task
+        do_sample, do_multilevel = self.do_sample, self.do_multilevel
+        alpha_0, gamma_0 = self.alpha_0, self.gamma_0
+        beta_0, mu_0 = self.beta_0, self.mu_0
+        min_t, max_t = self.min_target, self.max_target
+        use_linear = cfg.use_linear
+
+        layouts, unobserved_np, attr_group_np = self._build_vector_layouts(train)
+        G = int(attr_group_np.max()) + 1
+        attr_group = jnp.asarray(attr_group_np)
+        num_attr_per_group = jnp.asarray(
+            np.bincount(attr_group_np, minlength=G).astype(np.float64), dtype=f
+        )
+        unobserved = jnp.asarray(unobserved_np)
+        n_unobs = int(unobserved_np.shape[0])
+
+        # device copies of the static layouts
+        dev_layouts = []
+        for lay in layouts:
+            dev_layouts.append(
+                dict(
+                    features=jnp.asarray(lay.features),
+                    groups=jnp.asarray(lay.groups),
+                    F=lay.num_features,
+                    buckets=[
+                        dict(
+                            w=b.width,
+                            slot_case=jnp.asarray(b.slot_case),
+                            slot_val=jnp.asarray(b.slot_val, dtype=f),
+                            seg_feat=jnp.asarray(b.seg_feat),
+                        )
+                        for b in lay.buckets
+                    ],
+                )
+            )
+
+        nc_train, nc_test = train.num_rows, test.num_rows
+        tr_ids_np, tr_vals_np = padded_rows_layout(
+            train.indptr, train.cols, train.vals
+        )
+        te_ids_np, te_vals_np = padded_rows_layout(
+            test.indptr, test.cols, test.vals
+        )
+        tr_ids = jnp.asarray(tr_ids_np)
+        tr_pv = jnp.asarray(tr_vals_np, dtype=f)
+        te_ids = jnp.asarray(te_ids_np)
+        te_pv = jnp.asarray(te_vals_np, dtype=f)
+
+        y_train = jnp.asarray(train.target, dtype=f)
+        y_test = jnp.asarray(test.target, dtype=f)
+        nec = self.num_eval_cases if self.num_eval_cases is not None else nc_test
+        eval_mask = jnp.asarray(
+            (np.arange(nc_test) < nec).astype(np.float64), dtype=f
+        )
+
+        key = jax.random.PRNGKey(self.seed)
+        key, kw, kv = jax.random.split(key, 3)
+        w = cfg.init_mean + cfg.init_stdev * jax.random.normal(kw, (n,), dtype=f)
+        V = cfg.init_mean + cfg.init_stdev * jax.random.normal(kv, (n, k), dtype=f)
+        if not use_linear:
+            w = jnp.zeros((n,), f)
+        w_lambda = (
+            jnp.asarray(self._w_lambda_vec, dtype=f)
+            if self._w_lambda_vec is not None
+            else jnp.full((G,), self._init_w_lambda, dtype=f)
+        )
+        v_lambda = (
+            jnp.asarray(self._v_lambda_vec, dtype=f)
+            if self._v_lambda_vec is not None
+            else jnp.full((G, k), self._init_v_lambda, dtype=f)
+        )
+
+        def packed_params(w0, w, V):
+            # P[j] = (w_j, v_j1..v_jk); one table so prediction needs ONE gather
+            return jnp.concatenate([w[:, None], V], axis=1)  # [n, d]
+
+        def predict_padded(w0, P, ids, pvals, nc):
+            """Returns (pred[nc], Q[nc, k]) from one row-gather of P."""
+            rows = P[ids]  # [nc, L, d]
+            wx = rows[..., 0] * pvals  # [nc, L]
+            vx = rows[..., 1:] * pvals[..., None]  # [nc, L, k]
+            Q = vx.sum(axis=1)  # [nc, k]
+            sq = (vx * vx).sum(axis=(1, 2))
+            pred = 0.5 * ((Q * Q).sum(axis=1) - sq)
+            if use_linear:
+                pred = pred + wx.sum(axis=1)
+            if cfg.use_bias:
+                pred = pred + w0
+            return pred, Q
+
+        # ---------------- block sweep ----------------
+        def sweep_block(A, w, V, lay, alpha, w_mu_g, w_lambda_g, v_mu_g,
+                        v_lambda_g, key):
+            """Joint draws for every feature of one block.
+
+            A: [nc+1, 1+k] = [e | Q] with zero sentinel row.
+            Returns updated (A, w, V, n_rejected)."""
+            F = lay["F"]
+            feats = lay["features"]
+            groups = lay["groups"]
+            theta_old = jnp.concatenate(
+                [w[feats][:, None], V[feats]], axis=1
+            )  # [F, d]
+
+            # sufficient statistics accumulated over buckets; qp is cached
+            # per bucket so the update pass needs no second A-gather
+            GG = jnp.zeros((F, d + 1, d + 1), f)  # [[H|e]^T [H|e]]
+            qp_cache = []
+            for b in lay["buckets"]:
+                sc, sv, sf = b["slot_case"], b["slot_val"], b["seg_feat"]
+                A_slot = A[sc]  # [nseg, W, 1+k] row gather
+                e_slot = A_slot[..., 0]
+                Q_slot = A_slot[..., 1:]
+                v_seg = V[feats[sf]]  # [nseg, k]
+                qp = Q_slot - sv[..., None] * v_seg[:, None, :]
+                qp_cache.append(qp)
+                h = jnp.concatenate(
+                    [sv[..., None], sv[..., None] * qp], axis=-1
+                )  # [nseg, W, d]
+                if not use_linear:
+                    h = h.at[..., 0].set(0.0)
+                M = jnp.concatenate([h, e_slot[..., None]], axis=-1)
+                Gseg = jnp.einsum(
+                    "swi,swj->sij", M, M, preferred_element_type=jnp.float32
+                ).astype(f)
+                GG = GG + seg_sum(
+                    Gseg.reshape(Gseg.shape[0], -1), sf, F
+                ).reshape(F, d + 1, d + 1)
+
+            HtH = GG[:, :d, :d]
+            Hte = GG[:, :d, d]
+
+            lam = jnp.concatenate(
+                [w_lambda_g[groups][:, None], v_lambda_g[groups]], axis=1
+            )  # [F, d]
+            mu_pr = jnp.concatenate(
+                [w_mu_g[groups][:, None], v_mu_g[groups]], axis=1
+            )
+            if not use_linear:
+                # freeze w: infinite prior precision at prior mean 0
+                lam = lam.at[:, 0].set(1e30)
+                mu_pr = mu_pr.at[:, 0].set(0.0)
+
+            Lam = alpha * HtH + jax.vmap(jnp.diag)(lam)  # [F, d, d]
+            b_vec = (
+                alpha * jnp.einsum("fij,fj->fi", HtH, theta_old)
+                - alpha * Hte
+                + lam * mu_pr
+            )
+            chol = jnp.linalg.cholesky(Lam)
+            mu_post = jax.scipy.linalg.cho_solve((chol, True), b_vec[..., None])[..., 0]
+            if do_sample:
+                key, kz = jax.random.split(key)
+                z = jax.random.normal(kz, (F, d), dtype=f)
+                # theta = mu + L^-T z  (Lam = L L^T)
+                pert = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(chol, -1, -2), z[..., None], lower=False
+                )[..., 0]
+                theta_new = mu_post + pert
+            else:
+                theta_new = mu_post
+            ok = jnp.isfinite(theta_new).all(axis=1, keepdims=True)
+            theta_new = jnp.where(ok, theta_new, theta_old)
+            n_rej = jnp.sum(~ok[:, 0]).astype(jnp.int32)
+            delta = theta_new - theta_old  # [F, d]
+
+            # apply updates: e += x*(dw + qp . dv); Q += x*dv
+            for b, qp in zip(lay["buckets"], qp_cache):
+                sc, sv, sf = b["slot_case"], b["slot_val"], b["seg_feat"]
+                d_seg = delta[sf]  # [nseg, d]
+                dpred = sv * (
+                    d_seg[:, None, 0]
+                    + jnp.einsum("swk,sk->sw", qp, d_seg[:, 1:])
+                )
+                dQ = sv[..., None] * d_seg[:, None, 1:]
+                drows = jnp.concatenate([dpred[..., None], dQ], axis=-1)
+                A = A.at[sc.reshape(-1)].add(
+                    drows.reshape(-1, 1 + k)
+                )
+            A = A.at[nc_train].set(0.0)  # reset padding sentinel
+
+            w = w.at[feats].set(theta_new[:, 0], unique_indices=True)
+            V = V.at[feats].set(theta_new[:, 1:], unique_indices=True)
+            return A, w, V, n_rej, key
+
+        # ---------------- one iteration ----------------
+        def draw_all(state):
+            key = state["key"]
+            rej = jnp.zeros((), jnp.int32)
+            A = state["A"]
+            e = A[:nc_train, 0]
+
+            key, k1 = jax.random.split(key)
+            alpha, r = draw_alpha(
+                k1, e, nc_train, state["alpha"], alpha_0, gamma_0,
+                do_multilevel, do_sample,
+            )
+            rej += r
+
+            w0 = state["w0"]
+            if cfg.use_bias:
+                key, k1 = jax.random.split(key)
+                acc = jnp.sum(e) - nc_train * w0
+                sigma_sqr = 1.0 / (cfg.reg0 + alpha * nc_train)
+                mean = -sigma_sqr * (alpha * acc - self.w0_mean_0 * cfg.reg0)
+                prop = (
+                    samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
+                    if do_sample else mean
+                )
+                w0_new, r = samplers.finite_or(prop, w0)
+                rej += r
+                A = A.at[:nc_train, 0].add(w0_new - w0)
+                w0 = w0_new
+
+            w, V = state["w"], state["V"]
+            w_mu, w_lambda = state["w_mu"], state["w_lambda"]
+            v_mu, v_lambda = state["v_mu"], state["v_lambda"]
+            if do_multilevel:
+                if use_linear:
+                    key, k1 = jax.random.split(key)
+                    w_lambda, w_mu, r = draw_theta_hyperpriors(
+                        k1, w, attr_group, num_attr_per_group, w_mu, w_lambda,
+                        alpha_0, gamma_0, beta_0, mu_0, do_sample,
+                    )
+                    rej += r
+                if k > 0:
+                    key, k1 = jax.random.split(key)
+                    sum_v = seg_sum(V, attr_group, G, sorted_ids=False)
+                    dev = V - v_mu[attr_group]
+                    lam_gamma = (
+                        beta_0 * (v_mu - mu_0) ** 2 + gamma_0
+                        + seg_sum(dev * dev, attr_group, G, sorted_ids=False)
+                    )
+                    lam_alpha = alpha_0 + num_attr_per_group[:, None] + 1.0
+                    ka, kb = jax.random.split(k1)
+                    lam_prop = (
+                        samplers.gamma(ka, lam_alpha / 2.0, lam_gamma / 2.0)
+                        if do_sample else lam_alpha / lam_gamma
+                    )
+                    v_lambda, r1 = samplers.finite_or(lam_prop, v_lambda)
+                    mu_mean = (sum_v + beta_0 * mu_0) / (
+                        num_attr_per_group[:, None] + beta_0
+                    )
+                    mu_sigma_sqr = 1.0 / (
+                        (num_attr_per_group[:, None] + beta_0) * v_lambda
+                    )
+                    mu_prop = (
+                        samplers.gaussian(kb, mu_mean, jnp.sqrt(mu_sigma_sqr))
+                        if do_sample else mu_mean
+                    )
+                    v_mu, r2 = samplers.finite_or(mu_prop, v_mu)
+                    rej += r1 + r2
+            else:
+                w_mu = jnp.full_like(w_mu, mu_0)
+                v_mu = jnp.full_like(v_mu, mu_0)
+
+            for lay in dev_layouts:
+                A, w, V, r, key = sweep_block(
+                    A, w, V, lay, alpha, w_mu, w_lambda, v_mu, v_lambda, key
+                )
+                rej += r
+
+            if n_unobs:
+                key, ku = jax.random.split(key)
+                g_u = attr_group[unobserved]
+                if do_sample:
+                    kuw, kuv = jax.random.split(ku)
+                    w_u = samplers.gaussian(
+                        kuw, w_mu[g_u], jnp.sqrt(1.0 / w_lambda[g_u])
+                    )
+                    v_u = samplers.gaussian(
+                        kuv, v_mu[g_u], jnp.sqrt(1.0 / v_lambda[g_u])
+                    )
+                else:
+                    w_u = w_mu[g_u]
+                    v_u = v_mu[g_u] + jnp.zeros((n_unobs, k), f)
+                w_u, r1 = samplers.finite_or(w_u, w[unobserved])
+                v_u, r2 = samplers.finite_or(v_u, V[unobserved])
+                rej += r1 + r2
+                if use_linear:
+                    w = w.at[unobserved].set(w_u, unique_indices=True)
+                V = V.at[unobserved].set(v_u, unique_indices=True)
+
+            return dict(
+                state, A=A, w0=w0, w=w, V=V, alpha=alpha,
+                w_mu=w_mu, w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
+                key=key, rejected=rej,
+            )
+
+        @jax.jit
+        def iteration(state, it):
+            state = draw_all(state)
+            P = packed_params(state["w0"], state["w"], state["V"])
+            pred_train, Q_train = predict_padded(
+                state["w0"], P, tr_ids, tr_pv, nc_train
+            )
+            pred_test, _ = predict_padded(state["w0"], P, te_ids, te_pv, nc_test)
+
+            key = state["key"]
+            if task == TASK_REGRESSION:
+                pred_this = pred_test
+                p_clamped = jnp.clip(pred_test, min_t, max_t)
+                pred_sum_all = state["pred_sum_all"] + p_clamped
+                pred_sum_all_but5 = state["pred_sum_all_but5"] + jnp.where(
+                    it >= 5, p_clamped, 0.0
+                )
+                ptc = jnp.clip(pred_train, min_t, max_t)
+                train_err = ptc - y_train
+                train_metric = jnp.sqrt(jnp.mean(train_err * train_err))
+                e = pred_train - y_train
+            else:
+                p_test = samplers.cdf_gaussian(pred_test)
+                pred_this = p_test
+                pred_sum_all = state["pred_sum_all"] + p_test
+                pred_sum_all_but5 = state["pred_sum_all_but5"] + jnp.where(
+                    it >= 5, p_test, 0.0
+                )
+                p_train = samplers.cdf_gaussian(pred_train)
+                correct = ((p_train >= 0.5) & (y_train > 0.0)) | (
+                    (p_train < 0.5) & (y_train < 0.0)
+                )
+                train_metric = correct.astype(f).mean()
+                key, k1 = jax.random.split(key)
+                if do_sample:
+                    lat_pos = samplers.left_truncated_gaussian(
+                        k1, 0.0, pred_train, 1.0
+                    )
+                    lat_neg = samplers.right_truncated_gaussian(
+                        k1, 0.0, pred_train, 1.0
+                    )
+                else:
+                    lat_pos = samplers.left_tn_expectation(pred_train)
+                    lat_neg = samplers.right_tn_expectation(pred_train)
+                latent = jnp.where(y_train >= 0.0, lat_pos, lat_neg)
+                e = pred_train - latent
+
+            A = jnp.concatenate([e[:, None], Q_train], axis=1)
+            A = jnp.concatenate([A, jnp.zeros((1, 1 + k), f)], axis=0)
+
+            n_all = it + 1.0
+            n_but5 = jnp.maximum(it - 4.0, 1e-12)
+            if task == TASK_REGRESSION:
+                m_this = _masked_rmse_mae(pred_this, y_test, eval_mask, min_t, max_t, 1.0)
+                m_all = _masked_rmse_mae(
+                    pred_sum_all, y_test, eval_mask, min_t, max_t, 1.0 / n_all
+                )
+                m_but5 = _masked_rmse_mae(
+                    pred_sum_all_but5, y_test, eval_mask, min_t, max_t, 1.0 / n_but5
+                )
+            else:
+                m_this = _masked_acc_ll(pred_this, y_test, eval_mask, 1.0)
+                m_all = _masked_acc_ll(pred_sum_all, y_test, eval_mask, 1.0 / n_all)
+                m_but5 = _masked_acc_ll(
+                    pred_sum_all_but5, y_test, eval_mask, 1.0 / n_but5
+                )
+
+            new_state = dict(
+                state, A=A, pred_this=pred_this, pred_sum_all=pred_sum_all,
+                pred_sum_all_but5=pred_sum_all_but5, key=key,
+            )
+            metrics = dict(
+                train=train_metric, this=m_this, all=m_all, but5=m_but5,
+                alpha=state["alpha"], rejected=state["rejected"],
+            )
+            return new_state, metrics
+
+        # ---------------- init & loop ----------------
+        P0 = packed_params(jnp.zeros((), f), w, V)
+        pred0, Q0 = predict_padded(jnp.zeros((), f), P0, tr_ids, tr_pv, nc_train)
+        e0 = pred0 - y_train
+        A0 = jnp.concatenate(
+            [jnp.concatenate([e0[:, None], Q0], axis=1),
+             jnp.zeros((1, 1 + k), f)], axis=0,
+        )
+        state = dict(
+            A=A0, w0=jnp.zeros((), f), w=w, V=V,
+            alpha=jnp.asarray(1.0, f),
+            w_mu=jnp.zeros((G,), f), w_lambda=w_lambda,
+            v_mu=jnp.zeros((G, k), f), v_lambda=v_lambda,
+            pred_this=jnp.zeros((nc_test,), f),
+            pred_sum_all=jnp.zeros((nc_test,), f),
+            pred_sum_all_but5=jnp.zeros((nc_test,), f),
+            key=key, rejected=jnp.zeros((), jnp.int32),
+        )
+
+        self.history = []
+        start_iter = 0
+        if self.checkpoint_path:
+            state, start_iter = self._maybe_restore(state)
+        for it in range(start_iter, self.num_iter):
+            t0 = time.perf_counter()
+            state, metrics = iteration(state, jnp.asarray(it, dtype=f))
+            jax.block_until_ready(state["A"])
+            dt = time.perf_counter() - t0
+            self._log_iteration(it, metrics, dt)
+            if (
+                self.checkpoint_path
+                and self.checkpoint_every
+                and (it + 1) % self.checkpoint_every == 0
+            ):
+                self._save_checkpoint(state, it + 1)
+        self._vector_state = state
+        from libfm_tpu.learners.mcmc import MCMCState
+
+        self._final_state = MCMCState(
+            w0=state["w0"], w=state["w"], vt=state["V"].T,
+            alpha=state["alpha"], w_mu=state["w_mu"],
+            w_lambda=state["w_lambda"], v_mu=state["v_mu"],
+            v_lambda=state["v_lambda"], e=state["A"][:nc_train, 0],
+            pred_this=state["pred_this"], pred_sum_all=state["pred_sum_all"],
+            pred_sum_all_but5=state["pred_sum_all_but5"], key=state["key"],
+            rejected=state["rejected"],
+        )
+        return self.history
+
+
+class ALSVectorLearner(MCMCVectorLearner):
+    """Vector-wise ALS (block coordinate descent on whole (w_j, v_j))."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("do_sample", False)
+        kwargs.setdefault("do_multilevel", False)
+        super().__init__(*args, **kwargs)

@@ -1,0 +1,139 @@
+"""Vector-sweep engine tests: layout invariants + agreement with the
+exact scalar engine (and through it, the reference binary)."""
+
+import numpy as np
+import pytest
+
+from libfm_tpu.data.batching import conflict_free_blocks
+from libfm_tpu.data.synth import ctr_like, movielens_like
+from libfm_tpu.data.vector_layout import build_block_layout, padded_rows_layout
+from libfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
+from libfm_tpu.learners.mcmc_vector import ALSVectorLearner, MCMCVectorLearner
+from libfm_tpu.models.fm import FMConfig
+from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+
+@pytest.fixture(scope="module")
+def ml_small():
+    return movielens_like(num_users=120, num_items=90, num_ratings=8000, seed=3)
+
+
+def test_layout_covers_all_entries(ml_small):
+    train, _ = ml_small
+    blocks = conflict_free_blocks(train)
+    total_slots = 0
+    total_entries = 0
+    for b in blocks:
+        lay = build_block_layout(
+            b.features, b.entry_rows, b.entry_vals, b.entry_feat,
+            np.zeros(len(b.features), np.int32), train.num_rows,
+            widths=(8, 64, 512),
+        )
+        for bk in lay.buckets:
+            real = bk.slot_case != train.num_rows
+            total_slots += int(real.sum())
+            # padding slots must carry value 0
+            assert (bk.slot_val[~real] == 0).all()
+            # each segment belongs to exactly one feature
+            assert bk.seg_feat.max() < lay.num_features
+        total_entries += len(b.entry_rows)
+    assert total_slots == total_entries == train.nnz
+
+
+def test_layout_case_appears_once_per_block(ml_small):
+    train, _ = ml_small
+    blocks = conflict_free_blocks(train)
+    for b in blocks:
+        lay = build_block_layout(
+            b.features, b.entry_rows, b.entry_vals, b.entry_feat,
+            np.zeros(len(b.features), np.int32), train.num_rows,
+        )
+        cases = np.concatenate(
+            [bk.slot_case[bk.slot_case != train.num_rows] for bk in lay.buckets]
+        )
+        assert len(cases) == len(np.unique(cases))
+
+
+def test_padded_rows_layout(ml_small):
+    train, _ = ml_small
+    ids, vals = padded_rows_layout(train.indptr, train.cols, train.vals)
+    assert ids.shape[0] == train.num_rows
+    # per-row sums of values survive the padding
+    lens = np.diff(train.indptr)
+    for i in (0, 5, len(lens) - 1):
+        s, e = train.indptr[i], train.indptr[i + 1]
+        assert np.allclose(np.sort(vals[i][: lens[i]]), np.sort(train.vals[s:e]))
+    assert (vals[ids == 0] >= 0).all()  # padding zeros contribute nothing
+
+
+def test_als_vector_matches_exact(ml_small):
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=8, regw=5, regv=5)
+    a = ALSLearner(cfg, num_iter=12, seed=1, verbose=False)
+    a.learn(train, test)
+    b = ALSVectorLearner(cfg, num_iter=12, seed=1, verbose=False)
+    b.learn(train, test)
+    # same fixed point: scalar and vector block coordinate descent agree
+    assert abs(a.history[-1]["test_this"] - b.history[-1]["test_this"]) < 5e-3
+
+
+def test_mcmc_vector_converges_like_exact(ml_small):
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    a = MCMCLearner(cfg, num_iter=20, seed=1, verbose=False)
+    a.learn(train, test)
+    b = MCMCVectorLearner(cfg, num_iter=20, seed=1, verbose=False)
+    b.learn(train, test)
+    assert abs(a.history[-1]["test_all"] - b.history[-1]["test_all"]) < 0.03
+    assert b.history[-1]["rejected"] == 0
+    # posterior noise level agrees
+    assert abs(a.history[-1]["alpha"] - b.history[-1]["alpha"]) < 2.0
+
+
+def test_mcmc_vector_classification():
+    train, test, groups = ctr_like(
+        num_fields=5, field_cardinality=50, num_examples=6000, seed=4
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    l = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=15, seed=1, verbose=False,
+        attr_group=groups,
+    )
+    l.learn(train, test)
+    assert l.history[-1]["test_all"] > 0.62
+    preds = l.predict(test)
+    assert ((preds >= 0) & (preds <= 1)).all()
+
+
+def test_mcmc_vector_grouped_and_eval_prefix(ml_small):
+    train, test = ml_small
+    groups = np.zeros(train.num_features, dtype=np.int32)
+    groups[120:] = 1
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    l = MCMCVectorLearner(
+        cfg, num_iter=8, seed=1, verbose=False, attr_group=groups,
+        num_eval_cases=100,
+    )
+    l.learn(train, test)
+    assert np.isfinite(l.history[-1]["test_all"])
+
+
+def test_vector_checkpoint_resume(tmp_path, ml_small):
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    p = str(tmp_path / "vec.npz")
+    full = MCMCVectorLearner(cfg, num_iter=8, seed=9, verbose=False)
+    full.learn(train, test)
+    a = MCMCVectorLearner(
+        cfg, num_iter=4, seed=9, verbose=False,
+        checkpoint_path=p, checkpoint_every=4,
+    )
+    a.learn(train, test)
+    b = MCMCVectorLearner(
+        cfg, num_iter=8, seed=9, verbose=False,
+        checkpoint_path=p, checkpoint_every=4,
+    )
+    b.learn(train, test)
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in full.history[4:]]
+    assert np.allclose(got, want, rtol=1e-4)
