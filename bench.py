@@ -30,6 +30,12 @@ def main():
 
     import jax
 
+    # persistent compile cache: the vector engine's XLA program is large
+    # and first-compile over the axon tunnel is minutes; repeat bench runs
+    # hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

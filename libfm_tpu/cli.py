@@ -69,6 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-batch_size", type=int, default=1024)
     a("-dtype", default="float32", choices=["float32", "float64", "bfloat16"])
     a("-mesh", default=None, help="mesh spec 'data,model' e.g. '4,2'")
+    a("-profile", default=None, help="write a jax.profiler trace to this dir")
     a(
         "-engine",
         default="vector",
@@ -115,10 +116,22 @@ def main(argv=None) -> int:
         do_sampling = False
         do_multilevel = False
 
+    def _debug(ds, name):
+        # verbosity dump like the reference's Data::debug
+        # (/root/reference/src/libfm/src/Data.h:343-356)
+        if args.verbosity > 0:
+            print(
+                f"{name}: num_cases={ds.num_rows}\tnum_values={ds.nnz}\t"
+                f"num_features={ds.num_features}\t"
+                f"min_target={ds.min_target}\tmax_target={ds.max_target}"
+            )
+
     print("Loading train...")
     train = Dataset.load(args.train)
+    _debug(train, "train")
     print("Loading test...")
     test = Dataset.load(args.test)
+    _debug(test, "test")
     validation = None
     if args.validation:
         if method != "sgda":
@@ -189,6 +202,15 @@ def main(argv=None) -> int:
 
     rlog = RLog(path=args.rlog) if args.rlog else None
 
+    import contextlib
+
+    def maybe_profile():
+        if args.profile:
+            from libfm_tpu.utils.profiling import trace
+
+            return trace(args.profile)
+        return contextlib.nullcontext()
+
     lr = [float(x) for x in _split_list(args.learn_rate)]
     assert len(lr) in (1, 3), "-learn_rate expects 1 or 3 values"
     learn_rates = tuple(lr) if len(lr) == 3 else (lr[0],) * 3
@@ -215,7 +237,8 @@ def main(argv=None) -> int:
                 learner.params = loaded
         if rlog:
             rlog.init()
-        learner.learn(train, test)
+        with maybe_profile():
+            learner.learn(train, test)
         print(f"Final\tTrain={learner.evaluate(train):.6g}\tTest={learner.evaluate(test):.6g}")
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
@@ -240,7 +263,8 @@ def main(argv=None) -> int:
                 learner.params = loaded
         if rlog:
             rlog.init()
-        learner.learn(train, test, validation)
+        with maybe_profile():
+            learner.learn(train, test, validation)
         print(f"Final\tTrain={learner.evaluate(train):.6g}\tTest={learner.evaluate(test):.6g}")
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
@@ -268,7 +292,8 @@ def main(argv=None) -> int:
         learner.register_log_fields()
         if rlog:
             rlog.init()
-        learner.learn(train, test)
+        with maybe_profile():
+            learner.learn(train, test)
         preds = learner.predict(test) if args.out else None
         params_out = None
     else:

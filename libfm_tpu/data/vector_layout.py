@@ -71,17 +71,20 @@ def build_block_layout(
     starts = np.zeros(F + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
 
-    max_w = widths[-1]
-    # assign each feature to a bucket width; chunk counts > max width
+    # Chunk each feature's entry list greedily into the LARGEST width
+    # <= remaining count (remainder < widths[0] pads the smallest bucket),
+    # so total padding is < widths[0] per feature — never a 'round a
+    # 126-entry feature up to 512 slots' blowup.
     per_bucket: dict[int, list] = {w: [] for w in widths}  # w -> [(feat, lo, hi)]
+    desc = sorted(widths, reverse=True)
     for j in range(F):
         c = int(counts[j])
         if c == 0:
             continue
         lo = int(starts[j])
         while c > 0:
-            take = min(c, max_w)
-            w = next(w for w in widths if take <= w)
+            w = next((x for x in desc if x <= c), widths[0])
+            take = min(c, w)
             per_bucket[w].append((j, lo, lo + take))
             lo += take
             c -= take

@@ -1,0 +1,67 @@
+"""Sharded == single-device tests on the simulated 8-device CPU mesh
+(SURVEY.md §4 item 4: assert parity before any TPU run)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libfm_tpu.data.synth import movielens_like
+from libfm_tpu.learners.sgd import SGDLearner
+from libfm_tpu.models.fm import FMConfig
+from libfm_tpu.parallel.mesh import make_mesh, fm_shardings
+from libfm_tpu.parallel.sharded_sgd import ShardedSGDLearner
+
+
+@pytest.fixture(scope="module")
+def data():
+    return movielens_like(num_users=100, num_items=80, num_ratings=6000, seed=7)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == len(jax.devices())
+
+
+def test_sharded_sgd_matches_single_device(data):
+    train, test = data
+    cfg = FMConfig(num_features=train.num_features, num_factors=4, regv=0.01)
+    kwargs = dict(
+        num_iter=3, learn_rate=0.01, batch_size=512, seed=1, verbose=False
+    )
+
+    single = SGDLearner(cfg, **kwargs)
+    h1 = single.learn(train, test)
+
+    mesh = make_mesh(data=4, model=2)
+    sharded = ShardedSGDLearner(cfg, mesh=mesh, **kwargs)
+    h2 = sharded.learn(train, test)
+
+    # identical math, different partitioning: trajectories must agree to
+    # float tolerance
+    for (tr1, te1, _), (tr2, te2, _) in zip(h1, h2):
+        assert abs(tr1 - tr2) < 1e-3, (tr1, tr2)
+        assert abs(te1 - te2) < 1e-3, (te1, te2)
+
+    # parameters agree too (up to feature padding added for the mesh)
+    n = cfg.num_features
+    v1 = np.asarray(single.params.v)
+    v2 = np.asarray(sharded.params.v)[:n]
+    assert np.allclose(v1, v2, atol=1e-4)
+
+
+def test_sharded_params_actually_sharded(data):
+    train, test = data
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    mesh = make_mesh(data=2, model=4)
+    l = ShardedSGDLearner(
+        cfg, mesh=mesh, num_iter=1, learn_rate=0.01, batch_size=256,
+        seed=1, verbose=False,
+    )
+    l.learn(train, test)
+    shard_shapes = {s.data.shape for s in l.params.v.addressable_shards}
+    n_pad = l.cfg.num_features
+    assert shard_shapes == {(n_pad // 4, 4)}  # row-sharded over model axis
