@@ -503,19 +503,15 @@ class MCMCLearner:
             rejected=jnp.zeros((), jnp.int32),
         )
 
-        iteration = self._make_iteration_fn(
-            blocks,
-            unobserved,
-            attr_group,
-            num_attr_per_group,
-            tr_rows,
-            tr_cols,
-            tr_vals,
-            te_rows,
-            te_cols,
-            te_vals,
-            nc_train,
-            nc_test,
+        iteration = self._make_iteration_fn(nc_train, nc_test, len(blocks))
+        # big static arrays cross the jit boundary as arguments, not
+        # closure constants (constants are baked into the HLO: slow
+        # compiles + duplicate HBM)
+        statics = dict(
+            blocks=blocks, unobserved=unobserved, attr_group=attr_group,
+            num_attr_per_group=num_attr_per_group,
+            tr_rows=tr_rows, tr_cols=tr_cols, tr_vals=tr_vals,
+            te_rows=te_rows, te_cols=te_cols, te_vals=te_vals,
         )
 
         self.history = []
@@ -524,7 +520,9 @@ class MCMCLearner:
             state, start_iter = self._maybe_restore(state)
         for it in range(start_iter, self.num_iter):
             t0 = time.perf_counter()
-            state, metrics = iteration(state, y_train, y_test, jnp.asarray(it), eval_mask)
+            state, metrics = iteration(
+                state, y_train, y_test, jnp.asarray(it), eval_mask, statics
+            )
             jax.block_until_ready(state.e)
             dt = time.perf_counter() - t0
             self._log_iteration(it, metrics, dt)
@@ -576,21 +574,7 @@ class MCMCLearner:
         restored = jax.tree_util.tree_map(jnp.asarray, restored)
         return restored, it
 
-    def _make_iteration_fn(
-        self,
-        blocks,
-        unobserved,
-        attr_group,
-        num_attr_per_group,
-        tr_rows,
-        tr_cols,
-        tr_vals,
-        te_rows,
-        te_cols,
-        te_vals,
-        nc_train: int,
-        nc_test: int,
-    ):
+    def _make_iteration_fn(self, nc_train: int, nc_test: int, n_blocks: int):
         cfg = self.cfg
         f = self.dtype
         k = cfg.num_factors
@@ -601,9 +585,16 @@ class MCMCLearner:
         beta_0, mu_0 = self.beta_0, self.mu_0
         w0_mean_0 = self.w0_mean_0
         min_t, max_t = self.min_target, self.max_target
-        n_unobs = int(unobserved.shape[0])
 
-        def draw_all(state: MCMCState, y_latent):
+        def draw_all(state: MCMCState, statics):
+            blocks = statics["blocks"]
+            unobserved = statics["unobserved"]
+            attr_group = statics["attr_group"]
+            num_attr_per_group = statics["num_attr_per_group"]
+            tr_rows, tr_cols, tr_vals = (
+                statics["tr_rows"], statics["tr_cols"], statics["tr_vals"]
+            )
+            n_unobs = int(unobserved.shape[0])
             key = state.key
             rej = jnp.zeros((), jnp.int32)
             e = state.e
@@ -707,7 +698,7 @@ class MCMCLearner:
                     q = seg_sum(v_f[tr_cols] * tr_vals, tr_rows, nc_train)
                     v_mu_f = jax.lax.dynamic_slice_in_dim(v_mu, fidx, 1, axis=1)[:, 0]
                     v_lam_f = jax.lax.dynamic_slice_in_dim(v_lambda, fidx, 1, axis=1)[:, 0]
-                    keys = jax.random.split(fkey, len(blocks) + 1)
+                    keys = jax.random.split(fkey, n_blocks + 1)
                     for bi, blk in enumerate(blocks):
                         v_f, e, q, r = draw_v_block(
                             v_f, e, q, blk, v_mu_f, v_lam_f, alpha,
@@ -745,16 +736,18 @@ class MCMCLearner:
             )
 
         @jax.jit
-        def iteration(state: MCMCState, y_train, y_test, it, eval_mask):
-            state = draw_all(state, y_train)
+        def iteration(state: MCMCState, y_train, y_test, it, eval_mask, statics):
+            state = draw_all(state, statics)
 
             # re-predict train & test (mcmc_simultaneous.h:122)
             pred_train = csr_predict(
-                state.w0, state.w, state.vt, tr_rows, tr_cols, tr_vals,
+                state.w0, state.w, state.vt,
+                statics["tr_rows"], statics["tr_cols"], statics["tr_vals"],
                 nc_train, cfg.use_bias, cfg.use_linear,
             )
             pred_test = csr_predict(
-                state.w0, state.w, state.vt, te_rows, te_cols, te_vals,
+                state.w0, state.w, state.vt,
+                statics["te_rows"], statics["te_cols"], statics["te_vals"],
                 nc_test, cfg.use_bias, cfg.use_linear,
             )
 

@@ -60,12 +60,59 @@ from libfm_tpu.ops.segment import seg_sum
 from libfm_tpu.tasks import TASK_REGRESSION
 
 
-class MCMCVectorLearner(MCMCLearner):
-    """MCMC/ALS with joint (w_j, v_j) vector draws (TPU fast path)."""
+from dataclasses import dataclass
 
-    def __init__(self, *args, widths=(8, 64, 512), **kwargs):
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DevBucket:
+    """Device copy of one width bucket; `width` is static (pytree aux)."""
+
+    slot_case: jax.Array
+    slot_val: jax.Array
+    seg_feat: jax.Array
+    width: int
+
+    def tree_flatten(self):
+        return (self.slot_case, self.slot_val, self.seg_feat), self.width
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, width=aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DevLayout:
+    """Device copy of one block layout; `F` is static (pytree aux)."""
+
+    features: jax.Array
+    groups: jax.Array
+    buckets: list
+    F: int
+
+    def tree_flatten(self):
+        return (self.features, self.groups, self.buckets), self.F
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], F=aux)
+
+
+class MCMCVectorLearner(MCMCLearner):
+    """MCMC/ALS with joint (w_j, v_j) vector draws (TPU fast path).
+
+    Pass `mesh` (a Mesh with a 'data' axis) for data-parallel sweeps:
+    the static slot layouts are sharded over segments, model state stays
+    replicated, and XLA's SPMD partitioner turns the per-feature
+    sufficient-statistic reductions and the A-scatter into psums over
+    the data axis. tests/test_sharding.py asserts sharded == single
+    device."""
+
+    def __init__(self, *args, widths=(8, 64, 512), mesh=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.widths = widths
+        self.mesh = mesh
 
     # ----------------------------------------------------------- layout
     def _build_vector_layouts(self, train: Dataset):
@@ -119,23 +166,51 @@ class MCMCVectorLearner(MCMCLearner):
         unobserved = jnp.asarray(unobserved_np)
         n_unobs = int(unobserved_np.shape[0])
 
-        # device copies of the static layouts
+        # device copies of the static layouts (segment-sharded over the
+        # data axis when a mesh is given; padding segments point at
+        # feature 0 with zero values, contributing nothing)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            seg_sh = NamedSharding(mesh, P("data", None))
+            seg1_sh = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            D = mesh.shape["data"]
+
+        def _put_bucket(b):
+            sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
+            if mesh is not None:
+                pad = (-len(sf)) % D
+                if pad:
+                    sc = np.concatenate(
+                        [sc, np.full((pad, b.width), train.num_rows, np.int32)]
+                    )
+                    sv = np.concatenate(
+                        [sv, np.zeros((pad, b.width), np.float32)]
+                    )
+                    sf = np.concatenate([sf, np.zeros(pad, np.int32)])
+                return DevBucket(
+                    slot_case=jax.device_put(jnp.asarray(sc), seg_sh),
+                    slot_val=jax.device_put(jnp.asarray(sv, dtype=f), seg_sh),
+                    seg_feat=jax.device_put(jnp.asarray(sf), seg1_sh),
+                    width=b.width,
+                )
+            return DevBucket(
+                slot_case=jnp.asarray(sc),
+                slot_val=jnp.asarray(sv, dtype=f),
+                seg_feat=jnp.asarray(sf),
+                width=b.width,
+            )
+
         dev_layouts = []
         for lay in layouts:
             dev_layouts.append(
-                dict(
+                DevLayout(
                     features=jnp.asarray(lay.features),
                     groups=jnp.asarray(lay.groups),
+                    buckets=[_put_bucket(b) for b in lay.buckets],
                     F=lay.num_features,
-                    buckets=[
-                        dict(
-                            w=b.width,
-                            slot_case=jnp.asarray(b.slot_case),
-                            slot_val=jnp.asarray(b.slot_val, dtype=f),
-                            seg_feat=jnp.asarray(b.seg_feat),
-                        )
-                        for b in lay.buckets
-                    ],
                 )
             )
 
@@ -200,9 +275,9 @@ class MCMCVectorLearner(MCMCLearner):
 
             A: [nc+1, 1+k] = [e | Q] with zero sentinel row.
             Returns updated (A, w, V, n_rejected)."""
-            F = lay["F"]
-            feats = lay["features"]
-            groups = lay["groups"]
+            F = lay.F
+            feats = lay.features
+            groups = lay.groups
             theta_old = jnp.concatenate(
                 [w[feats][:, None], V[feats]], axis=1
             )  # [F, d]
@@ -211,8 +286,8 @@ class MCMCVectorLearner(MCMCLearner):
             # per bucket so the update pass needs no second A-gather
             GG = jnp.zeros((F, d + 1, d + 1), f)  # [[H|e]^T [H|e]]
             qp_cache = []
-            for b in lay["buckets"]:
-                sc, sv, sf = b["slot_case"], b["slot_val"], b["seg_feat"]
+            for b in lay.buckets:
+                sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
                 A_slot = A[sc]  # [nseg, W, 1+k] row gather
                 e_slot = A_slot[..., 0]
                 Q_slot = A_slot[..., 1:]
@@ -270,8 +345,8 @@ class MCMCVectorLearner(MCMCLearner):
             delta = theta_new - theta_old  # [F, d]
 
             # apply updates: e += x*(dw + qp . dv); Q += x*dv
-            for b, qp in zip(lay["buckets"], qp_cache):
-                sc, sv, sf = b["slot_case"], b["slot_val"], b["seg_feat"]
+            for b, qp in zip(lay.buckets, qp_cache):
+                sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
                 d_seg = delta[sf]  # [nseg, d]
                 dpred = sv * (
                     d_seg[:, None, 0]
@@ -289,7 +364,10 @@ class MCMCVectorLearner(MCMCLearner):
             return A, w, V, n_rej, key
 
         # ---------------- one iteration ----------------
-        def draw_all(state):
+        def draw_all(state, statics):
+            attr_group = statics["attr_group"]
+            num_attr_per_group = statics["num_attr_per_group"]
+            unobserved = statics["unobserved"]
             key = state["key"]
             rej = jnp.zeros((), jnp.int32)
             A = state["A"]
@@ -359,7 +437,7 @@ class MCMCVectorLearner(MCMCLearner):
                 w_mu = jnp.full_like(w_mu, mu_0)
                 v_mu = jnp.full_like(v_mu, mu_0)
 
-            for lay in dev_layouts:
+            for lay in statics["dev_layouts"]:
                 A, w, V, r, key = sweep_block(
                     A, w, V, lay, alpha, w_mu, w_lambda, v_mu, v_lambda, key
                 )
@@ -393,13 +471,18 @@ class MCMCVectorLearner(MCMCLearner):
             )
 
         @jax.jit
-        def iteration(state, it):
-            state = draw_all(state)
+        def iteration(state, it, statics):
+            y_train = statics["y_train"]
+            y_test = statics["y_test"]
+            eval_mask = statics["eval_mask"]
+            state = draw_all(state, statics)
             P = packed_params(state["w0"], state["w"], state["V"])
             pred_train, Q_train = predict_padded(
-                state["w0"], P, tr_ids, tr_pv, nc_train
+                state["w0"], P, statics["tr_ids"], statics["tr_pv"], nc_train
             )
-            pred_test, _ = predict_padded(state["w0"], P, te_ids, te_pv, nc_test)
+            pred_test, _ = predict_padded(
+                state["w0"], P, statics["te_ids"], statics["te_pv"], nc_test
+            )
 
             key = state["key"]
             if task == TASK_REGRESSION:
@@ -487,14 +570,28 @@ class MCMCVectorLearner(MCMCLearner):
             pred_sum_all_but5=jnp.zeros((nc_test,), f),
             key=key, rejected=jnp.zeros((), jnp.int32),
         )
+        if mesh is not None:
+            # model state and case-side arrays replicated; only the slot
+            # layouts are sharded — SPMD partitions the sweeps over them
+            state = jax.device_put(state, repl)
 
+        # big static arrays go through the jit boundary as ARGUMENTS —
+        # closing over them would bake them into the HLO as constants
+        # (minutes of compile time + a duplicate HBM copy)
+        statics = dict(
+            dev_layouts=dev_layouts,
+            tr_ids=tr_ids, tr_pv=tr_pv, te_ids=te_ids, te_pv=te_pv,
+            y_train=y_train, y_test=y_test, eval_mask=eval_mask,
+            attr_group=attr_group, num_attr_per_group=num_attr_per_group,
+            unobserved=unobserved,
+        )
         self.history = []
         start_iter = 0
         if self.checkpoint_path:
             state, start_iter = self._maybe_restore(state)
         for it in range(start_iter, self.num_iter):
             t0 = time.perf_counter()
-            state, metrics = iteration(state, jnp.asarray(it, dtype=f))
+            state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
             jax.block_until_ready(state["A"])
             dt = time.perf_counter() - t0
             self._log_iteration(it, metrics, dt)

@@ -65,3 +65,18 @@ def test_sharded_params_actually_sharded(data):
     shard_shapes = {s.data.shape for s in l.params.v.addressable_shards}
     n_pad = l.cfg.num_features
     assert shard_shapes == {(n_pad // 4, 4)}  # row-sharded over model axis
+
+
+def test_vector_mcmc_sharded_matches_single(data):
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    train, test = data
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    a = MCMCVectorLearner(cfg, num_iter=5, seed=3, verbose=False)
+    a.learn(train, test)
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    b = MCMCVectorLearner(cfg, num_iter=5, seed=3, verbose=False, mesh=mesh)
+    b.learn(train, test)
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
