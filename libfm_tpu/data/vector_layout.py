@@ -71,19 +71,23 @@ def build_block_layout(
     starts = np.zeros(F + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
 
-    # Chunk each feature's entry list greedily into the LARGEST width
-    # <= remaining count (remainder < widths[0] pads the smallest bucket),
-    # so total padding is < widths[0] per feature — never a 'round a
-    # 126-entry feature up to 512 slots' blowup.
+    # Chunk each feature's entry list: full chunks use the LARGEST width
+    # <= remaining count; the final remainder rounds UP to the smallest
+    # width >= it. Bounds both padding (<2x) and segment count (<=2 per
+    # width crossing) — a 126-entry feature becomes 64 + 62->64pad, not
+    # seven 8-wide segments or a 512-wide one.
     per_bucket: dict[int, list] = {w: [] for w in widths}  # w -> [(feat, lo, hi)]
     desc = sorted(widths, reverse=True)
+    asc = sorted(widths)
     for j in range(F):
         c = int(counts[j])
         if c == 0:
             continue
         lo = int(starts[j])
         while c > 0:
-            w = next((x for x in desc if x <= c), widths[0])
+            w = next((x for x in desc if x <= c), None)
+            if w is None:  # remainder: round up to the smallest fitting width
+                w = next(x for x in asc if x >= c)
             take = min(c, w)
             per_bucket[w].append((j, lo, lo + take))
             lo += take

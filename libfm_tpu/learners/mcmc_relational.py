@@ -282,8 +282,11 @@ def learn_relational(learner, train: Dataset, test: Dataset):
     ]
 
     # ---- joint prediction (predict_data_and_write_to_eterms analog) --
-    def rel_predict(w0, w, vt):
+    def rel_predict(w0, w, vt, S):
         """Returns (pred_train[nc_tr], pred_test[nc_te], [y_b per rel])."""
+        dev_rels = S["dev_rels"]
+        tr_rows, tr_cols, tr_vals = S["tr_rows"], S["tr_cols"], S["tr_vals"]
+        te_rows, te_cols, te_vals = S["te_rows"], S["te_cols"], S["te_vals"]
         vT = vt.T  # [n, k]
         q_bs, y_bs, lin_bs, sq_bs = [], [], [], []
         for r, d in zip(rels, dev_rels):
@@ -343,7 +346,15 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         else jnp.full((G, k), learner._init_v_lambda, dtype=f)
     )
 
-    pred_tr0, _, y_bs0 = rel_predict(jnp.zeros((), f), w, vt)
+    statics = dict(
+        dev_rels=dev_rels, main_blocks=main_blocks,
+        attr_group=attr_group, num_attr_per_group=num_attr_per_group,
+        unobserved=unobserved,
+        tr_rows=tr_rows, tr_cols=tr_cols, tr_vals=tr_vals,
+        te_rows=te_rows, te_cols=te_cols, te_vals=te_vals,
+        y_train=y_train, y_test=y_test, eval_mask=eval_mask,
+    )
+    pred_tr0, _, y_bs0 = rel_predict(jnp.zeros((), f), w, vt, statics)
     state = dict(
         w0=jnp.zeros((), f),
         w=w,
@@ -363,7 +374,13 @@ def learn_relational(learner, train: Dataset, test: Dataset):
     )
 
     # ---- one Gibbs iteration ----------------------------------------
-    def draw_all(state):
+    def draw_all(state, S):
+        dev_rels = S["dev_rels"]
+        main_blocks = S["main_blocks"]
+        attr_group = S["attr_group"]
+        num_attr_per_group = S["num_attr_per_group"]
+        unobserved = S["unobserved"]
+        tr_rows, tr_cols, tr_vals = S["tr_rows"], S["tr_cols"], S["tr_vals"]
         key = state["key"]
         rej = jnp.zeros((), jnp.int32)
         e = state["e"]
@@ -570,10 +587,11 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         )
 
     @jax.jit
-    def iteration(state, it):
-        state = draw_all(state)
+    def iteration(state, it, S):
+        y_train, y_test, eval_mask = S["y_train"], S["y_test"], S["eval_mask"]
+        state = draw_all(state, S)
         pred_train, pred_test, y_bs = rel_predict(
-            state["w0"], state["w"], state["vt"]
+            state["w0"], state["w"], state["vt"], S
         )
         key = state["key"]
         if task == TASK_REGRESSION:
@@ -641,7 +659,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
     learner.history = []
     for it in range(learner.num_iter):
         t0 = time.perf_counter()
-        state, metrics = iteration(state, jnp.asarray(it, dtype=f))
+        state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
         jax.block_until_ready(state["e"])
         dt = time.perf_counter() - t0
         learner._log_iteration(it, metrics, dt)

@@ -173,27 +173,40 @@ class MCMCVectorLearner(MCMCLearner):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            seg_sh = NamedSharding(mesh, P("data", None))
-            seg1_sh = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
             D = mesh.shape["data"]
 
+        # Segments are processed under lax.scan in chunks of C segments
+        # so the per-step HBM temps (gathered slots, per-segment stats)
+        # stay bounded regardless of dataset size.
+        SLOT_BUDGET = 1 << 18  # slots gathered per scan step
+        SEG_BUDGET = 8192  # segments per step (bounds the [C, d+1, d+1] temp)
+
         def _put_bucket(b):
             sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
+            C = max(1, min(SLOT_BUDGET // b.width, SEG_BUDGET))
             if mesh is not None:
-                pad = (-len(sf)) % D
-                if pad:
-                    sc = np.concatenate(
-                        [sc, np.full((pad, b.width), train.num_rows, np.int32)]
-                    )
-                    sv = np.concatenate(
-                        [sv, np.zeros((pad, b.width), np.float32)]
-                    )
-                    sf = np.concatenate([sf, np.zeros(pad, np.int32)])
+                C = max(D, (C // D) * D)
+            pad = (-len(sf)) % C
+            if pad:
+                sc = np.concatenate(
+                    [sc, np.full((pad, b.width), train.num_rows, np.int32)]
+                )
+                sv = np.concatenate([sv, np.zeros((pad, b.width), np.float32)])
+                sf = np.concatenate([sf, np.zeros(pad, np.int32)])
+            nchunk = len(sf) // C
+            sc = sc.reshape(nchunk, C, b.width)
+            sv = sv.reshape(nchunk, C, b.width)
+            sf = sf.reshape(nchunk, C)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh3 = NamedSharding(mesh, P(None, "data", None))
+                sh2 = NamedSharding(mesh, P(None, "data"))
                 return DevBucket(
-                    slot_case=jax.device_put(jnp.asarray(sc), seg_sh),
-                    slot_val=jax.device_put(jnp.asarray(sv, dtype=f), seg_sh),
-                    seg_feat=jax.device_put(jnp.asarray(sf), seg1_sh),
+                    slot_case=jax.device_put(jnp.asarray(sc), sh3),
+                    slot_val=jax.device_put(jnp.asarray(sv, dtype=f), sh3),
+                    seg_feat=jax.device_put(jnp.asarray(sf), sh2),
                     width=b.width,
                 )
             return DevBucket(
@@ -215,16 +228,31 @@ class MCMCVectorLearner(MCMCLearner):
             )
 
         nc_train, nc_test = train.num_rows, test.num_rows
-        tr_ids_np, tr_vals_np = padded_rows_layout(
-            train.indptr, train.cols, train.vals
+        ROW_CHUNK = 1 << 18  # prediction rows per scan step
+
+        def _chunk_rows(ids_np, vals_np):
+            nr, L = ids_np.shape
+            C = min(ROW_CHUNK, max(1, nr))
+            pad = (-nr) % C
+            if pad:
+                ids_np = np.concatenate(
+                    [ids_np, np.zeros((pad, L), np.int32)]
+                )
+                vals_np = np.concatenate(
+                    [vals_np, np.zeros((pad, L), np.float32)]
+                )
+            nchunk = len(ids_np) // C
+            return (
+                jnp.asarray(ids_np.reshape(nchunk, C, L)),
+                jnp.asarray(vals_np.reshape(nchunk, C, L), dtype=f),
+            )
+
+        tr_ids, tr_pv = _chunk_rows(
+            *padded_rows_layout(train.indptr, train.cols, train.vals)
         )
-        te_ids_np, te_vals_np = padded_rows_layout(
-            test.indptr, test.cols, test.vals
+        te_ids, te_pv = _chunk_rows(
+            *padded_rows_layout(test.indptr, test.cols, test.vals)
         )
-        tr_ids = jnp.asarray(tr_ids_np)
-        tr_pv = jnp.asarray(tr_vals_np, dtype=f)
-        te_ids = jnp.asarray(te_ids_np)
-        te_pv = jnp.asarray(te_vals_np, dtype=f)
 
         y_train = jnp.asarray(train.target, dtype=f)
         y_test = jnp.asarray(test.target, dtype=f)
@@ -255,18 +283,25 @@ class MCMCVectorLearner(MCMCLearner):
             return jnp.concatenate([w[:, None], V], axis=1)  # [n, d]
 
         def predict_padded(w0, P, ids, pvals, nc):
-            """Returns (pred[nc], Q[nc, k]) from one row-gather of P."""
-            rows = P[ids]  # [nc, L, d]
-            wx = rows[..., 0] * pvals  # [nc, L]
-            vx = rows[..., 1:] * pvals[..., None]  # [nc, L, k]
-            Q = vx.sum(axis=1)  # [nc, k]
-            sq = (vx * vx).sum(axis=(1, 2))
-            pred = 0.5 * ((Q * Q).sum(axis=1) - sq)
-            if use_linear:
-                pred = pred + wx.sum(axis=1)
-            if cfg.use_bias:
-                pred = pred + w0
-            return pred, Q
+            """(pred[nc], Q[nc, k]) via a scan over row chunks — one
+            row-gather of P per chunk, temps bounded by ROW_CHUNK."""
+
+            def chunk(_, inp):
+                cids, cpv = inp
+                rows = P[cids]  # [C, L, d]
+                wx = rows[..., 0] * cpv
+                vx = rows[..., 1:] * cpv[..., None]
+                Q = vx.sum(axis=1)
+                sq = (vx * vx).sum(axis=(1, 2))
+                pred = 0.5 * ((Q * Q).sum(axis=1) - sq)
+                if use_linear:
+                    pred = pred + wx.sum(axis=1)
+                if cfg.use_bias:
+                    pred = pred + w0
+                return None, (pred, Q)
+
+            _, (preds, Qs) = jax.lax.scan(chunk, None, (ids, pvals))
+            return preds.reshape(-1)[:nc], Qs.reshape(-1, k)[:nc]
 
         # ---------------- block sweep ----------------
         def sweep_block(A, w, V, lay, alpha, w_mu_g, w_lambda_g, v_mu_g,
@@ -282,31 +317,42 @@ class MCMCVectorLearner(MCMCLearner):
                 [w[feats][:, None], V[feats]], axis=1
             )  # [F, d]
 
-            # sufficient statistics accumulated over buckets; qp is cached
-            # per bucket so the update pass needs no second A-gather
-            GG = jnp.zeros((F, d + 1, d + 1), f)  # [[H|e]^T [H|e]]
-            qp_cache = []
-            for b in lay.buckets:
-                sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
-                A_slot = A[sc]  # [nseg, W, 1+k] row gather
+            # sufficient statistics accumulated over buckets, each bucket
+            # scanned in chunks of C segments (bounded HBM temps)
+            GG = jnp.zeros((F, (d + 1) * (d + 1)), f)  # [[H|e]^T [H|e]] flat
+
+            def _slot_hM(sc, sv, sf):
+                A_slot = A[sc]  # [C, W, 1+k] row gather
                 e_slot = A_slot[..., 0]
                 Q_slot = A_slot[..., 1:]
-                v_seg = V[feats[sf]]  # [nseg, k]
+                v_seg = V[feats[sf]]  # [C, k]
                 qp = Q_slot - sv[..., None] * v_seg[:, None, :]
-                qp_cache.append(qp)
                 h = jnp.concatenate(
                     [sv[..., None], sv[..., None] * qp], axis=-1
-                )  # [nseg, W, d]
+                )  # [C, W, d]
                 if not use_linear:
                     h = h.at[..., 0].set(0.0)
-                M = jnp.concatenate([h, e_slot[..., None]], axis=-1)
-                Gseg = jnp.einsum(
-                    "swi,swj->sij", M, M, preferred_element_type=jnp.float32
-                ).astype(f)
-                GG = GG + seg_sum(
-                    Gseg.reshape(Gseg.shape[0], -1), sf, F
-                ).reshape(F, d + 1, d + 1)
+                return e_slot, qp, h
 
+            for b in lay.buckets:
+                def stats_chunk(GG, inp):
+                    sc, sv, sf = inp
+                    e_slot, qp, h = _slot_hM(sc, sv, sf)
+                    M = jnp.concatenate([h, e_slot[..., None]], axis=-1)
+                    Gseg = jnp.einsum(
+                        "swi,swj->sij", M, M,
+                        preferred_element_type=jnp.float32,
+                    ).astype(f)
+                    GG = GG + seg_sum(
+                        Gseg.reshape(Gseg.shape[0], -1), sf, F
+                    )
+                    return GG, None
+
+                GG, _ = jax.lax.scan(
+                    stats_chunk, GG, (b.slot_case, b.slot_val, b.seg_feat)
+                )
+
+            GG = GG.reshape(F, d + 1, d + 1)
             HtH = GG[:, :d, :d]
             Hte = GG[:, :d, d]
 
@@ -321,41 +367,87 @@ class MCMCVectorLearner(MCMCLearner):
                 lam = lam.at[:, 0].set(1e30)
                 mu_pr = mu_pr.at[:, 0].set(0.0)
 
-            Lam = alpha * HtH + jax.vmap(jnp.diag)(lam)  # [F, d, d]
-            b_vec = (
-                alpha * jnp.einsum("fij,fj->fi", HtH, theta_old)
-                - alpha * Hte
-                + lam * mu_pr
-            )
-            chol = jnp.linalg.cholesky(Lam)
-            mu_post = jax.scipy.linalg.cho_solve((chol, True), b_vec[..., None])[..., 0]
+            # batched Cholesky draws, scanned over feature chunks so the
+            # [FC, d, d] linear-algebra temps stay bounded
+            FC = 8192
+            Fpad = ((F + FC - 1) // FC) * FC
+
+            def _padF(x, fill=0.0):
+                pad = Fpad - F
+                if pad == 0:
+                    return x
+                w_ = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, w_, constant_values=fill)
+
+            HtH_c = _padF(HtH).reshape(-1, FC, d, d)
+            Hte_c = _padF(Hte).reshape(-1, FC, d)
+            th_c = _padF(theta_old).reshape(-1, FC, d)
+            lam_c = _padF(lam, fill=1.0).reshape(-1, FC, d)
+            mu_c = _padF(mu_pr).reshape(-1, FC, d)
             if do_sample:
                 key, kz = jax.random.split(key)
-                z = jax.random.normal(kz, (F, d), dtype=f)
-                # theta = mu + L^-T z  (Lam = L L^T)
-                pert = jax.scipy.linalg.solve_triangular(
-                    jnp.swapaxes(chol, -1, -2), z[..., None], lower=False
-                )[..., 0]
-                theta_new = mu_post + pert
+                z_c = jax.random.normal(kz, (Fpad, d), dtype=f).reshape(
+                    -1, FC, d
+                )
             else:
-                theta_new = mu_post
-            ok = jnp.isfinite(theta_new).all(axis=1, keepdims=True)
-            theta_new = jnp.where(ok, theta_new, theta_old)
-            n_rej = jnp.sum(~ok[:, 0]).astype(jnp.int32)
+                z_c = jnp.zeros((Fpad // FC, FC, d), f)
+
+            def draw_chunk(_, inp):
+                HtHf, Htef, thf, lamf, muf, zf = inp
+                Lam = alpha * HtHf + jax.vmap(jnp.diag)(lamf)
+                b_vec = (
+                    alpha * jnp.einsum("fij,fj->fi", HtHf, thf)
+                    - alpha * Htef
+                    + lamf * muf
+                )
+                chol = jnp.linalg.cholesky(Lam)
+                mu_post = jax.scipy.linalg.cho_solve(
+                    (chol, True), b_vec[..., None]
+                )[..., 0]
+                if do_sample:
+                    pert = jax.scipy.linalg.solve_triangular(
+                        jnp.swapaxes(chol, -1, -2), zf[..., None], lower=False
+                    )[..., 0]
+                    th_new = mu_post + pert
+                else:
+                    th_new = mu_post
+                ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                th_new = jnp.where(ok, th_new, thf)
+                return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
+
+            _, (theta_new_c, rej_c) = jax.lax.scan(
+                draw_chunk, None, (HtH_c, Hte_c, th_c, lam_c, mu_c, z_c)
+            )
+            theta_new = theta_new_c.reshape(Fpad, d)[:F]
+            n_rej = rej_c.sum()
             delta = theta_new - theta_old  # [F, d]
 
-            # apply updates: e += x*(dw + qp . dv); Q += x*dv
-            for b, qp in zip(lay.buckets, qp_cache):
-                sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
-                d_seg = delta[sf]  # [nseg, d]
-                dpred = sv * (
-                    d_seg[:, None, 0]
-                    + jnp.einsum("swk,sk->sw", qp, d_seg[:, 1:])
-                )
-                dQ = sv[..., None] * d_seg[:, None, 1:]
-                drows = jnp.concatenate([dpred[..., None], dQ], axis=-1)
-                A = A.at[sc.reshape(-1)].add(
-                    drows.reshape(-1, 1 + k)
+            # apply updates: e += x*(dw + qp . dv); Q += x*dv. qp is
+            # recomputed per chunk with the PRE-draw V (V is updated after
+            # this loop), which the delta formulas require.
+            for b in lay.buckets:
+                def upd_chunk(A, inp):
+                    sc, sv, sf = inp
+                    _, qp, _ = _slot_hM_on(A, sc, sv, sf)
+                    d_seg = delta[sf]  # [C, d]
+                    dpred = sv * (
+                        d_seg[:, None, 0]
+                        + jnp.einsum("swk,sk->sw", qp, d_seg[:, 1:])
+                    )
+                    dQ = sv[..., None] * d_seg[:, None, 1:]
+                    drows = jnp.concatenate([dpred[..., None], dQ], axis=-1)
+                    A = A.at[sc.reshape(-1)].add(drows.reshape(-1, 1 + k))
+                    return A, None
+
+                def _slot_hM_on(A, sc, sv, sf):
+                    A_slot = A[sc]
+                    Q_slot = A_slot[..., 1:]
+                    v_seg = V[feats[sf]]
+                    qp = Q_slot - sv[..., None] * v_seg[:, None, :]
+                    return A_slot[..., 0], qp, None
+
+                A, _ = jax.lax.scan(
+                    upd_chunk, A, (b.slot_case, b.slot_val, b.seg_feat)
                 )
             A = A.at[nc_train].set(0.0)  # reset padding sentinel
 
