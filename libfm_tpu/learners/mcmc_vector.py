@@ -282,26 +282,86 @@ class MCMCVectorLearner(MCMCLearner):
             # P[j] = (w_j, v_j1..v_jk); one table so prediction needs ONE gather
             return jnp.concatenate([w[:, None], V], axis=1)  # [n, d]
 
-        def predict_padded(w0, P, ids, pvals, nc):
-            """(pred[nc], Q[nc, k]) via a scan over row chunks — one
-            row-gather of P per chunk, temps bounded by ROW_CHUNK."""
+        def _chunk_pred_q(w0, P, cids, cpv):
+            rows = P[cids]  # [C, L, d]
+            wx = rows[..., 0] * cpv
+            vx = rows[..., 1:] * cpv[..., None]
+            Q = vx.sum(axis=1)
+            sq = (vx * vx).sum(axis=(1, 2))
+            pred = 0.5 * ((Q * Q).sum(axis=1) - sq)
+            if use_linear:
+                pred = pred + wx.sum(axis=1)
+            if cfg.use_bias:
+                pred = pred + w0
+            return pred, Q
+
+        def predict_padded(w0, P, ids, pvals, nc, want_q=True):
+            """(pred[nc], Q[nc, k] or None) via a scan over row chunks —
+            one row-gather of P per chunk, temps bounded by ROW_CHUNK."""
 
             def chunk(_, inp):
-                cids, cpv = inp
-                rows = P[cids]  # [C, L, d]
-                wx = rows[..., 0] * cpv
-                vx = rows[..., 1:] * cpv[..., None]
-                Q = vx.sum(axis=1)
-                sq = (vx * vx).sum(axis=(1, 2))
-                pred = 0.5 * ((Q * Q).sum(axis=1) - sq)
-                if use_linear:
-                    pred = pred + wx.sum(axis=1)
-                if cfg.use_bias:
-                    pred = pred + w0
-                return None, (pred, Q)
+                pred, Q = _chunk_pred_q(w0, P, inp[0], inp[1])
+                return None, ((pred, Q) if want_q else pred)
 
-            _, (preds, Qs) = jax.lax.scan(chunk, None, (ids, pvals))
-            return preds.reshape(-1)[:nc], Qs.reshape(-1, k)[:nc]
+            _, out = jax.lax.scan(chunk, None, (ids, pvals))
+            if want_q:
+                preds, Qs = out
+                return preds.reshape(-1)[:nc], Qs.reshape(-1, k)[:nc]
+            return out.reshape(-1)[:nc], None
+
+        def refresh_A_and_train_metric(w0, P, key, statics):
+            """One fused scan over train chunks: recompute predictions,
+            build the new A = [e | Q] rows directly (no stacked Q copy),
+            accumulate the train metric, and (classification) resample
+            the probit latent targets chunk-wise."""
+            nchunk = statics["tr_ids"].shape[0]
+            ckeys = jax.random.split(key, nchunk)
+
+            def chunk(acc, inp):
+                cids, cpv, cy, cm, ck = inp
+                pred, Q = _chunk_pred_q(w0, P, cids, cpv)
+                if task == TASK_REGRESSION:
+                    err = (jnp.clip(pred, min_t, max_t) - cy) * cm
+                    acc = (acc[0] + (err * err).sum(), acc[1] + cm.sum())
+                    e = pred - cy
+                else:
+                    pp = samplers.cdf_gaussian(pred)
+                    correct = ((pp >= 0.5) & (cy > 0.0)) | (
+                        (pp < 0.5) & (cy < 0.0)
+                    )
+                    acc = (
+                        acc[0] + (correct.astype(f) * cm).sum(),
+                        acc[1] + cm.sum(),
+                    )
+                    if do_sample:
+                        lat_pos = samplers.left_truncated_gaussian(
+                            ck, 0.0, pred, 1.0
+                        )
+                        lat_neg = samplers.right_truncated_gaussian(
+                            ck, 0.0, pred, 1.0
+                        )
+                    else:
+                        lat_pos = samplers.left_tn_expectation(pred)
+                        lat_neg = samplers.right_tn_expectation(pred)
+                    latent = jnp.where(cy >= 0.0, lat_pos, lat_neg)
+                    e = pred - latent
+                return acc, jnp.concatenate([e[:, None], Q], axis=1)
+
+            (m0, m1), Ast = jax.lax.scan(
+                chunk,
+                (jnp.zeros((), f), jnp.zeros((), f)),
+                (statics["tr_ids"], statics["tr_pv"], statics["y_tr_ch"],
+                 statics["mask_tr_ch"], ckeys),
+            )
+            A = jnp.concatenate(
+                [Ast.reshape(-1, 1 + k)[:nc_train],
+                 jnp.zeros((1, 1 + k), f)], axis=0,
+            )
+            m1 = jnp.maximum(m1, 1.0)
+            train_metric = (
+                jnp.sqrt(m0 / m1) if task == TASK_REGRESSION else m0 / m1
+            )
+            return A, train_metric
 
         # ---------------- block sweep ----------------
         def sweep_block(A, w, V, lay, alpha, w_mu_g, w_lambda_g, v_mu_g,
@@ -564,19 +624,20 @@ class MCMCVectorLearner(MCMCLearner):
 
         @jax.jit
         def iteration(state, it, statics):
-            y_train = statics["y_train"]
             y_test = statics["y_test"]
             eval_mask = statics["eval_mask"]
             state = draw_all(state, statics)
             P = packed_params(state["w0"], state["w"], state["V"])
-            pred_train, Q_train = predict_padded(
-                state["w0"], P, statics["tr_ids"], statics["tr_pv"], nc_train
-            )
             pred_test, _ = predict_padded(
-                state["w0"], P, statics["te_ids"], statics["te_pv"], nc_test
+                state["w0"], P, statics["te_ids"], statics["te_pv"], nc_test,
+                want_q=False,
             )
 
             key = state["key"]
+            key, kr = jax.random.split(key)
+            A, train_metric = refresh_A_and_train_metric(
+                state["w0"], P, kr, statics
+            )
             if task == TASK_REGRESSION:
                 pred_this = pred_test
                 p_clamped = jnp.clip(pred_test, min_t, max_t)
@@ -584,10 +645,6 @@ class MCMCVectorLearner(MCMCLearner):
                 pred_sum_all_but5 = state["pred_sum_all_but5"] + jnp.where(
                     it >= 5, p_clamped, 0.0
                 )
-                ptc = jnp.clip(pred_train, min_t, max_t)
-                train_err = ptc - y_train
-                train_metric = jnp.sqrt(jnp.mean(train_err * train_err))
-                e = pred_train - y_train
             else:
                 p_test = samplers.cdf_gaussian(pred_test)
                 pred_this = p_test
@@ -595,27 +652,6 @@ class MCMCVectorLearner(MCMCLearner):
                 pred_sum_all_but5 = state["pred_sum_all_but5"] + jnp.where(
                     it >= 5, p_test, 0.0
                 )
-                p_train = samplers.cdf_gaussian(pred_train)
-                correct = ((p_train >= 0.5) & (y_train > 0.0)) | (
-                    (p_train < 0.5) & (y_train < 0.0)
-                )
-                train_metric = correct.astype(f).mean()
-                key, k1 = jax.random.split(key)
-                if do_sample:
-                    lat_pos = samplers.left_truncated_gaussian(
-                        k1, 0.0, pred_train, 1.0
-                    )
-                    lat_neg = samplers.right_truncated_gaussian(
-                        k1, 0.0, pred_train, 1.0
-                    )
-                else:
-                    lat_pos = samplers.left_tn_expectation(pred_train)
-                    lat_neg = samplers.right_tn_expectation(pred_train)
-                latent = jnp.where(y_train >= 0.0, lat_pos, lat_neg)
-                e = pred_train - latent
-
-            A = jnp.concatenate([e[:, None], Q_train], axis=1)
-            A = jnp.concatenate([A, jnp.zeros((1, 1 + k), f)], axis=0)
 
             n_all = it + 1.0
             n_but5 = jnp.maximum(it - 4.0, 1e-12)
@@ -670,10 +706,17 @@ class MCMCVectorLearner(MCMCLearner):
         # big static arrays go through the jit boundary as ARGUMENTS —
         # closing over them would bake them into the HLO as constants
         # (minutes of compile time + a duplicate HBM copy)
+        nch, C_rows = tr_ids.shape[0], tr_ids.shape[1]
+        y_tr_pad = np.zeros(nch * C_rows, dtype=np.float64)
+        y_tr_pad[:nc_train] = np.asarray(train.target, dtype=np.float64)
+        m_tr_pad = np.zeros(nch * C_rows, dtype=bool)
+        m_tr_pad[:nc_train] = True
         statics = dict(
             dev_layouts=dev_layouts,
             tr_ids=tr_ids, tr_pv=tr_pv, te_ids=te_ids, te_pv=te_pv,
-            y_train=y_train, y_test=y_test, eval_mask=eval_mask,
+            y_tr_ch=jnp.asarray(y_tr_pad.reshape(nch, C_rows), dtype=f),
+            mask_tr_ch=jnp.asarray(m_tr_pad.reshape(nch, C_rows), dtype=f),
+            y_test=y_test, eval_mask=eval_mask,
             attr_group=attr_group, num_attr_per_group=num_attr_per_group,
             unobserved=unobserved,
         )

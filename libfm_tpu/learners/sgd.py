@@ -235,6 +235,44 @@ class SGDLearner:
         self.history = history
         return history
 
+    def learn_stream(self, stream, test: Dataset, max_nnz: int = 64):
+        """Out-of-core SGD: one pass per iteration over a
+        StreamingDataset (bounded host memory), jitted step per batch.
+        The reference's analog is training straight from the
+        LargeSparseMatrixHD cache (/root/reference/src/util/fmatrix.h:
+        165-281)."""
+        if self.params is None:
+            self.init_params()
+        self.min_target = stream.min_target
+        self.max_target = stream.max_target
+        eb = batch_dataset(test, self.batch_size)
+        e_arrs = _device_arrays(eb)
+        lrs = jnp.asarray(self.lrs, dtype=jnp.float32)
+        min_t, max_t = self.min_target, self.max_target
+        step = jax.jit(
+            lambda p, ids, vals, y, m: sgd_batch_update(
+                p, ids, vals, y, m, self.cfg,
+                lrs[0], lrs[1], lrs[2], self.task, min_t, max_t,
+            )
+        )
+        history = []
+        for it in range(self.num_iter):
+            t0 = time.perf_counter()
+            for ids, vals, y, m in stream.iter_batches(self.batch_size, max_nnz):
+                self.params = step(
+                    self.params, jnp.asarray(ids), jnp.asarray(vals),
+                    jnp.asarray(y), jnp.asarray(m),
+                )
+            jax.block_until_ready(self.params.v)
+            dt = time.perf_counter() - t0
+            m_test = self._eval(self.params, *e_arrs, min_t, max_t)
+            te = float(m_test[0])
+            history.append((float("nan"), te, dt))
+            if self.verbose:
+                print(f"#Iter={it:3d}\tTest={te:.6g}")
+        self.history = history
+        return history
+
     def evaluate(self, ds: Dataset) -> float:
         b = batch_dataset(ds, self.batch_size)
         m = self._eval(self.params, *_device_arrays(b), self.min_target, self.max_target)

@@ -1,0 +1,61 @@
+"""Out-of-core streaming tests: windowed binary reader, flat memmap
+format, and streaming SGD parity with in-memory SGD."""
+
+import numpy as np
+
+from libfm_tpu.data import streaming
+from libfm_tpu.data.dataset import Dataset
+from libfm_tpu.data.synth import movielens_like
+from libfm_tpu.learners.sgd import SGDLearner
+from libfm_tpu.models.fm import FMConfig
+
+
+def _write_pair(ds, tmp_path, name):
+    ds.to_binary(str(tmp_path / name), with_transpose=False)
+    return str(tmp_path / f"{name}.x"), str(tmp_path / f"{name}.y")
+
+
+def test_stream_windows_reassemble(tmp_path):
+    train, _ = movielens_like(num_users=50, num_items=40, num_ratings=3000, seed=1)
+    xp, yp = _write_pair(train, tmp_path, "s")
+    cols_all, vals_all, nrows = [], [], 0
+    for row_start, indptr, cols, vals, num_rows, num_cols in (
+        streaming.stream_sparse_binary(xp, entry_budget=500)
+    ):
+        assert row_start == nrows
+        assert int(indptr[-1]) == len(cols)
+        cols_all.append(cols)
+        vals_all.append(vals)
+        nrows += len(indptr) - 1
+    assert nrows == train.num_rows
+    assert np.array_equal(np.concatenate(cols_all), train.cols)
+    assert np.allclose(np.concatenate(vals_all), train.vals)
+
+
+def test_flat_format_mmap_roundtrip(tmp_path):
+    train, _ = movielens_like(num_users=30, num_items=20, num_ratings=1000, seed=2)
+    p = str(tmp_path / "flat")
+    streaming.save_flat(train, p)
+    ds = streaming.load_flat(p, mmap=True)
+    assert isinstance(ds.cols, np.memmap)
+    assert np.array_equal(np.asarray(ds.indptr), train.indptr)
+    assert np.array_equal(np.asarray(ds.cols), train.cols)
+    assert np.allclose(np.asarray(ds.target), train.target)
+    assert ds.num_features == train.num_features
+
+
+def test_streaming_sgd_matches_inmemory(tmp_path):
+    train, test = movielens_like(num_users=60, num_items=50, num_ratings=4000, seed=3)
+    xp, yp = _write_pair(train, tmp_path, "tr")
+    cfg = FMConfig(num_features=train.num_features, num_factors=4, regv=0.01)
+    kwargs = dict(num_iter=3, learn_rate=0.01, batch_size=128, seed=1, verbose=False)
+
+    mem = SGDLearner(cfg, **kwargs)
+    h_mem = mem.learn(train, test)
+
+    stream = streaming.StreamingDataset(xp, yp, entry_budget=1000)
+    st = SGDLearner(cfg, **kwargs)
+    h_st = st.learn_stream(stream, test, max_nnz=8)
+
+    # identical batch order and math -> same trajectory
+    assert abs(h_mem[-1][1] - h_st[-1][1]) < 1e-4, (h_mem[-1], h_st[-1])
