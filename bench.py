@@ -48,9 +48,12 @@ def main():
     )
     n = train.num_features
     cfg = FMConfig(num_features=n, num_factors=args.factors)
+    import sys
+
     learner = MCMCVectorLearner(
-        cfg, num_iter=args.iters + 1, seed=1, verbose=False
+        cfg, num_iter=args.iters + 1, seed=1, verbose=True
     )
+    print("data ready; starting learn", file=sys.stderr, flush=True)
 
     # run learn() manually to separate compile (iter 0) from steady state
     learner.num_iter = args.iters + 1

@@ -36,6 +36,7 @@ free (measurements in BENCHNOTES.md).
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -195,9 +196,17 @@ class MCMCVectorLearner(MCMCLearner):
                 sv = np.concatenate([sv, np.zeros((pad, b.width), np.float32)])
                 sf = np.concatenate([sf, np.zeros(pad, np.int32)])
             nchunk = len(sf) // C
-            sc = sc.reshape(nchunk, C, b.width)
+            sc = sc.reshape(nchunk, C, b.width).copy()
             sv = sv.reshape(nchunk, C, b.width)
             sf = sf.reshape(nchunk, C)
+            # padding slots get UNIQUE dummy row ids (nc + position) so
+            # every per-chunk scatter has unique indices — the TPU
+            # scatter fast path instead of a sort-based combine. Dummy
+            # rows only ever receive zero updates (slot_val == 0).
+            pos = np.arange(C * b.width, dtype=np.int32).reshape(C, b.width)
+            for ci in range(nchunk):
+                m = sc[ci] == train.num_rows
+                sc[ci][m] = train.num_rows + pos[m]
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -309,30 +318,32 @@ class MCMCVectorLearner(MCMCLearner):
                 return preds.reshape(-1)[:nc], Qs.reshape(-1, k)[:nc]
             return out.reshape(-1)[:nc], None
 
-        def refresh_A_and_train_metric(w0, P, key, statics):
+        def refresh_A_and_train_metric(w0, P, key, statics, A, init=False):
             """One fused scan over train chunks: recompute predictions,
-            build the new A = [e | Q] rows directly (no stacked Q copy),
-            accumulate the train metric, and (classification) resample
-            the probit latent targets chunk-wise."""
-            nchunk = statics["tr_ids"].shape[0]
+            write the new A = [e | Q] rows IN PLACE into the carried A
+            (no second full-size copy), accumulate the train metric, and
+            (classification) resample the probit latent targets
+            chunk-wise. init=True uses e = pred - y for both tasks (the
+            reference's initialisation, mcmc_simultaneous.h:70-86)."""
+            nchunk, C = statics["tr_ids"].shape[0], statics["tr_ids"].shape[1]
             ckeys = jax.random.split(key, nchunk)
 
-            def chunk(acc, inp):
-                cids, cpv, cy, cm, ck = inp
+            def chunk(carry, inp):
+                A, acc0, acc1 = carry
+                ci, cids, cpv, cy, cm, ck = inp
                 pred, Q = _chunk_pred_q(w0, P, cids, cpv)
-                if task == TASK_REGRESSION:
+                if task == TASK_REGRESSION or init:
                     err = (jnp.clip(pred, min_t, max_t) - cy) * cm
-                    acc = (acc[0] + (err * err).sum(), acc[1] + cm.sum())
+                    acc0 = acc0 + (err * err).sum()
+                    acc1 = acc1 + cm.sum()
                     e = pred - cy
                 else:
                     pp = samplers.cdf_gaussian(pred)
                     correct = ((pp >= 0.5) & (cy > 0.0)) | (
                         (pp < 0.5) & (cy < 0.0)
                     )
-                    acc = (
-                        acc[0] + (correct.astype(f) * cm).sum(),
-                        acc[1] + cm.sum(),
-                    )
+                    acc0 = acc0 + (correct.astype(f) * cm).sum()
+                    acc1 = acc1 + cm.sum()
                     if do_sample:
                         lat_pos = samplers.left_truncated_gaussian(
                             ck, 0.0, pred, 1.0
@@ -345,17 +356,19 @@ class MCMCVectorLearner(MCMCLearner):
                         lat_neg = samplers.right_tn_expectation(pred)
                     latent = jnp.where(cy >= 0.0, lat_pos, lat_neg)
                     e = pred - latent
-                return acc, jnp.concatenate([e[:, None], Q], axis=1)
+                rows = jnp.concatenate([e[:, None], Q], axis=1)
+                # zero the rows that fall in the padding tail so dummy
+                # slot rows keep contributing exactly nothing
+                rows = rows * cm[:, None]
+                A = jax.lax.dynamic_update_slice(A, rows, (ci * C, 0))
+                return (A, acc0, acc1), None
 
-            (m0, m1), Ast = jax.lax.scan(
+            (A, m0, m1), _ = jax.lax.scan(
                 chunk,
-                (jnp.zeros((), f), jnp.zeros((), f)),
-                (statics["tr_ids"], statics["tr_pv"], statics["y_tr_ch"],
+                (A, jnp.zeros((), f), jnp.zeros((), f)),
+                (jnp.arange(nchunk, dtype=jnp.int32),
+                 statics["tr_ids"], statics["tr_pv"], statics["y_tr_ch"],
                  statics["mask_tr_ch"], ckeys),
-            )
-            A = jnp.concatenate(
-                [Ast.reshape(-1, 1 + k)[:nc_train],
-                 jnp.zeros((1, 1 + k), f)], axis=0,
             )
             m1 = jnp.maximum(m1, 1.0)
             train_metric = (
@@ -496,7 +509,9 @@ class MCMCVectorLearner(MCMCLearner):
                     )
                     dQ = sv[..., None] * d_seg[:, None, 1:]
                     drows = jnp.concatenate([dpred[..., None], dQ], axis=-1)
-                    A = A.at[sc.reshape(-1)].add(drows.reshape(-1, 1 + k))
+                    A = A.at[sc.reshape(-1)].add(
+                        drows.reshape(-1, 1 + k), unique_indices=True
+                    )
                     return A, None
 
                 def _slot_hM_on(A, sc, sv, sf):
@@ -509,7 +524,6 @@ class MCMCVectorLearner(MCMCLearner):
                 A, _ = jax.lax.scan(
                     upd_chunk, A, (b.slot_case, b.slot_val, b.seg_feat)
                 )
-            A = A.at[nc_train].set(0.0)  # reset padding sentinel
 
             w = w.at[feats].set(theta_new[:, 0], unique_indices=True)
             V = V.at[feats].set(theta_new[:, 1:], unique_indices=True)
@@ -622,7 +636,7 @@ class MCMCVectorLearner(MCMCLearner):
                 key=key, rejected=rej,
             )
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def iteration(state, it, statics):
             y_test = statics["y_test"]
             eval_mask = statics["eval_mask"]
@@ -636,7 +650,7 @@ class MCMCVectorLearner(MCMCLearner):
             key = state["key"]
             key, kr = jax.random.split(key)
             A, train_metric = refresh_A_and_train_metric(
-                state["w0"], P, kr, statics
+                state["w0"], P, kr, statics, state["A"]
             )
             if task == TASK_REGRESSION:
                 pred_this = pred_test
@@ -681,13 +695,33 @@ class MCMCVectorLearner(MCMCLearner):
             return new_state, metrics
 
         # ---------------- init & loop ----------------
-        P0 = packed_params(jnp.zeros((), f), w, V)
-        pred0, Q0 = predict_padded(jnp.zeros((), f), P0, tr_ids, tr_pv, nc_train)
-        e0 = pred0 - y_train
-        A0 = jnp.concatenate(
-            [jnp.concatenate([e0[:, None], Q0], axis=1),
-             jnp.zeros((1, 1 + k), f)], axis=0,
+        A_rows = nc_train + SLOT_BUDGET
+
+        @jax.jit
+        def init_A(w, V, key, statics):
+            P0 = packed_params(jnp.zeros((), f), w, V)
+            A0, _ = refresh_A_and_train_metric(
+                jnp.zeros((), f), P0, key, statics,
+                jnp.zeros((A_rows, 1 + k), f), init=True,
+            )
+            return A0
+
+        nch, C_rows = tr_ids.shape[0], tr_ids.shape[1]
+        y_tr_pad = np.zeros(nch * C_rows, dtype=np.float64)
+        y_tr_pad[:nc_train] = np.asarray(train.target, dtype=np.float64)
+        m_tr_pad = np.zeros(nch * C_rows, dtype=bool)
+        m_tr_pad[:nc_train] = True
+        statics = dict(
+            dev_layouts=dev_layouts,
+            tr_ids=tr_ids, tr_pv=tr_pv, te_ids=te_ids, te_pv=te_pv,
+            y_tr_ch=jnp.asarray(y_tr_pad.reshape(nch, C_rows), dtype=f),
+            mask_tr_ch=jnp.asarray(m_tr_pad.reshape(nch, C_rows), dtype=f),
+            y_test=y_test, eval_mask=eval_mask,
+            attr_group=attr_group, num_attr_per_group=num_attr_per_group,
+            unobserved=unobserved,
         )
+        key, k_init = jax.random.split(key)
+        A0 = init_A(w, V, k_init, statics)
         state = dict(
             A=A0, w0=jnp.zeros((), f), w=w, V=V,
             alpha=jnp.asarray(1.0, f),
@@ -706,20 +740,6 @@ class MCMCVectorLearner(MCMCLearner):
         # big static arrays go through the jit boundary as ARGUMENTS —
         # closing over them would bake them into the HLO as constants
         # (minutes of compile time + a duplicate HBM copy)
-        nch, C_rows = tr_ids.shape[0], tr_ids.shape[1]
-        y_tr_pad = np.zeros(nch * C_rows, dtype=np.float64)
-        y_tr_pad[:nc_train] = np.asarray(train.target, dtype=np.float64)
-        m_tr_pad = np.zeros(nch * C_rows, dtype=bool)
-        m_tr_pad[:nc_train] = True
-        statics = dict(
-            dev_layouts=dev_layouts,
-            tr_ids=tr_ids, tr_pv=tr_pv, te_ids=te_ids, te_pv=te_pv,
-            y_tr_ch=jnp.asarray(y_tr_pad.reshape(nch, C_rows), dtype=f),
-            mask_tr_ch=jnp.asarray(m_tr_pad.reshape(nch, C_rows), dtype=f),
-            y_test=y_test, eval_mask=eval_mask,
-            attr_group=attr_group, num_attr_per_group=num_attr_per_group,
-            unobserved=unobserved,
-        )
         self.history = []
         start_iter = 0
         if self.checkpoint_path:
