@@ -43,9 +43,22 @@ def main():
     from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
     from libfm_tpu.models.fm import FMConfig
 
-    train, test = movielens_like(
-        num_users=71567, num_items=10681, num_ratings=args.ratings, seed=1
-    )
+    # cache the synthetic dataset on disk so repeat bench runs (driver
+    # reruns, warm compile cache) skip the ~40 s generation
+    import os
+
+    from libfm_tpu.data import streaming as _st
+
+    cache_prefix = f"/tmp/bench_ml_{args.ratings}"
+    if os.path.exists(cache_prefix + ".train.indptr.npy"):
+        train = _st.load_flat(cache_prefix + ".train", mmap=False)
+        test = _st.load_flat(cache_prefix + ".test", mmap=False)
+    else:
+        train, test = movielens_like(
+            num_users=71567, num_items=10681, num_ratings=args.ratings, seed=1
+        )
+        _st.save_flat(train, cache_prefix + ".train")
+        _st.save_flat(test, cache_prefix + ".test")
     n = train.num_features
     cfg = FMConfig(num_features=n, num_factors=args.factors)
     import sys

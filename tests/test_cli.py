@@ -1,0 +1,102 @@
+"""End-to-end CLI tests: every method through the real entry point on
+tiny data, exercising flags, outputs, rlog, and model save/load."""
+
+import numpy as np
+import pytest
+
+from libfm_tpu import cli
+from libfm_tpu.data.synth import movielens_like
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    train, test = movielens_like(num_users=40, num_items=30, num_ratings=1500, seed=6)
+    trp, tep = str(d / "c.train"), str(d / "c.test")
+    train.to_libfm_text(trp)
+    test.to_libfm_text(tep)
+    return d, trp, tep
+
+
+def test_cli_sgd_full_surface(files):
+    d, trp, tep = files
+    out = str(d / "preds.txt")
+    rlog = str(d / "log.tsv")
+    model = str(d / "model.txt")
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,4", "-learn_rate", "0.01", "-regular", "0,0,0.01",
+        "-iter", "3", "-seed", "1", "-batch_size", "128",
+        "-out", out, "-rlog", rlog, "-save_model", model, "-verbosity", "1",
+    ])
+    assert rc == 0
+    preds = np.loadtxt(out)
+    assert preds.shape == (150,)
+    assert (preds >= 1.0).all() and (preds <= 5.0).all()  # clamped
+    lines = open(rlog).read().splitlines()
+    assert lines[0].split("\t")[0] == "rmse"
+    assert len(lines) == 4  # header + 3 iters
+    assert open(model).read().startswith("#global bias W0")
+
+    # load the saved model back in a fresh run
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,4", "-learn_rate", "0.01", "-iter", "1", "-seed", "1",
+        "-load_model", model,
+    ])
+    assert rc == 0
+
+
+def test_cli_mcmc_vector_and_exact(files):
+    d, trp, tep = files
+    for engine in ("vector", "exact"):
+        out = str(d / f"m_{engine}.txt")
+        rc = cli.main([
+            "-task", "r", "-train", trp, "-test", tep, "-method", "mcmc",
+            "-dim", "1,1,4", "-iter", "4", "-seed", "1", "-engine", engine,
+            "-out", out,
+        ])
+        assert rc == 0
+        assert np.isfinite(np.loadtxt(out)).all()
+
+
+def test_cli_als_rejects_save_model_for_mcmc(files):
+    d, trp, tep = files
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "mcmc",
+        "-save_model", str(d / "nope.txt"), "-iter", "1",
+    ])
+    assert rc == 0  # reference warns and exits 0 (libfm.cpp:123-133)
+    import os
+
+    assert not os.path.exists(str(d / "nope.txt"))
+
+
+def test_cli_sgda(files):
+    d, trp, tep = files
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-validation", tep,
+        "-method", "sgda", "-dim", "1,1,2", "-learn_rate", "0.01",
+        "-iter", "2", "-seed", "1", "-batch_size", "128",
+    ])
+    assert rc == 0
+
+
+def test_cli_classification_binarizes(files):
+    d, trp, tep = files
+    out = str(d / "cls.txt")
+    rc = cli.main([
+        "-task", "c", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,2", "-learn_rate", "0.01", "-iter", "2", "-seed", "1",
+        "-out", out,
+    ])
+    assert rc == 0
+    p = np.loadtxt(out)
+    assert ((p >= 0) & (p <= 1)).all()  # sigmoid link
+
+
+def test_cli_help_exit():
+    # bare invocation prints help and exits 0
+    assert cli.main([]) == 0
+    # missing -train with other args is an error
+    assert cli.main(["-task", "r"]) == 1
