@@ -11,7 +11,7 @@ joined attribute space offsets each relation's features by `attr_offset`
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -42,18 +42,17 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libfm_tpu.data.batching import SweepLayout, conflict_free_blocks
+from libfm_tpu.data.batching import conflict_free_blocks
 from libfm_tpu.data.dataset import Dataset
 from libfm_tpu.models.fm import FMConfig, FMParams
 from libfm_tpu.ops import samplers
 from libfm_tpu.ops.segment import seg_sum
-from libfm_tpu.tasks import TASK_CLASSIFICATION, TASK_REGRESSION
+from libfm_tpu.tasks import TASK_REGRESSION
 
 
 # --------------------------------------------------------------------------

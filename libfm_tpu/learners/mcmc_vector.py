@@ -45,7 +45,6 @@ import numpy as np
 from libfm_tpu.data.batching import conflict_free_blocks
 from libfm_tpu.data.dataset import Dataset
 from libfm_tpu.data.vector_layout import (
-    VectorBlockLayout,
     build_block_layout,
     padded_rows_layout,
 )

@@ -35,7 +35,7 @@ from libfm_tpu.data.batching import BatchedCSR, batch_dataset
 from libfm_tpu.data.dataset import Dataset
 from libfm_tpu.learners import base
 from libfm_tpu.models.fm import FMConfig, FMParams, fm_batch_terms, init_fm
-from libfm_tpu.tasks import TASK_CLASSIFICATION, TASK_REGRESSION
+from libfm_tpu.tasks import TASK_REGRESSION
 
 
 def sgd_multiplier(pred, y, task: int, min_target, max_target):

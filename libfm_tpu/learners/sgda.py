@@ -31,9 +31,9 @@ import numpy as np
 
 from libfm_tpu.data.batching import batch_dataset
 from libfm_tpu.data.dataset import Dataset
-from libfm_tpu.learners.sgd import SGDLearner, make_eval_fn, _device_arrays
-from libfm_tpu.models.fm import FMConfig, FMParams, fm_batch_terms, init_fm
-from libfm_tpu.tasks import TASK_CLASSIFICATION, TASK_REGRESSION
+from libfm_tpu.learners.sgd import SGDLearner, _device_arrays
+from libfm_tpu.models.fm import FMConfig, FMParams, fm_batch_terms
+from libfm_tpu.tasks import TASK_REGRESSION
 
 
 def sgda_multiplier(pred, y, task, min_t, max_t):

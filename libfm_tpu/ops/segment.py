@@ -9,7 +9,6 @@ one-pass reductions on TPU.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def seg_sum(data, segment_ids, num_segments: int, sorted_ids: bool = True):

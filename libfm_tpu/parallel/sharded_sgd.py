@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from libfm_tpu.data.batching import BatchedCSR, batch_dataset
-from libfm_tpu.models.fm import FMConfig, FMParams
+from libfm_tpu.models.fm import FMConfig
 from libfm_tpu.learners.sgd import SGDLearner, sgd_batch_update
 from libfm_tpu.parallel.mesh import fm_shardings, make_mesh
 from libfm_tpu.tasks import TASK_REGRESSION

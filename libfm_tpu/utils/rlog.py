@@ -9,7 +9,6 @@ field registration raises, matching rlog.h:77-85.
 from __future__ import annotations
 
 import math
-import sys
 
 
 class RLog:
