@@ -18,6 +18,56 @@ import numpy as np
 
 
 BASELINE_EXAMPLES_PER_S = 95_700.0  # reference libFM, 1 CPU core (BASELINE.md)
+# reference MCMC -dim 1,1,16 on the same CTR synthetic, 1 CPU core —
+# measured alongside the ML baseline (task c, 2M rows: 11.5 s/iter)
+BASELINE_CTR_EXAMPLES_PER_S = 174_000.0
+
+
+def bench_ctr(args):
+    import json
+    import time
+
+    import numpy as np
+    import jax
+
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    n_ex = min(args.ratings, 2_000_000)
+    train, test, groups = ctr_like(
+        num_fields=13, field_cardinality=5000, num_examples=n_ex, seed=1
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=16)
+    learner = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1, seed=1,
+        verbose=True, attr_group=groups,
+    )
+    t0 = time.time()
+    learner.learn(train, test)
+    times = [h["time"] for h in learner.history[1:]]
+    dt = float(np.median(times))
+    ex_s = train.num_rows / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mcmc_ctr_k16_classification_examples_per_s_per_chip",
+                "value": round(ex_s, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(ex_s / BASELINE_CTR_EXAMPLES_PER_S, 2),
+                "detail": {
+                    "median_iter_s": round(dt, 4),
+                    "test_acc_mcmc_all": round(
+                        float(learner.history[-1]["test_all"]), 4
+                    ),
+                    "train_rows": train.num_rows,
+                    "device": str(jax.devices()[0]),
+                    "total_wall_s": round(time.time() - t0, 1),
+                },
+            }
+        )
+    )
 
 
 def main():
@@ -26,6 +76,11 @@ def main():
     ap.add_argument("--factors", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument(
+        "--workload", default="ml", choices=["ml", "ctr"],
+        help="ml = MCMC regression (headline); ctr = Criteo-style "
+        "classification (BASELINE config #4)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -39,9 +94,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from libfm_tpu.data.synth import movielens_like
+    from libfm_tpu.data.synth import ctr_like, movielens_like
     from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
     from libfm_tpu.models.fm import FMConfig
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    if args.workload == "ctr":
+        return bench_ctr(args)
 
     # cache the synthetic dataset on disk so repeat bench runs (driver
     # reruns, warm compile cache) skip the ~40 s generation
