@@ -18,9 +18,9 @@ import numpy as np
 
 
 BASELINE_EXAMPLES_PER_S = 95_700.0  # reference libFM, 1 CPU core (BASELINE.md)
-# reference MCMC -dim 1,1,16 on the same CTR synthetic, 1 CPU core —
-# measured alongside the ML baseline (task c, 2M rows: 11.5 s/iter)
-BASELINE_CTR_EXAMPLES_PER_S = 174_000.0
+# reference MCMC task=c -dim 1,1,16 on the same CTR synthetic (13 fields x
+# 5000, 1.8M train rows), 1 CPU core: 9.63 s/iter measured => 187K ex/s
+BASELINE_CTR_EXAMPLES_PER_S = 187_000.0
 
 
 def bench_ctr(args):
