@@ -71,11 +71,11 @@ def build_block_layout(
     starts = np.zeros(F + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
 
-    # Chunk each feature's entry list: full chunks use the LARGEST width
-    # <= remaining count; the final remainder rounds UP to the smallest
-    # width >= it. Bounds both padding (<2x) and segment count (<=2 per
-    # width crossing) — a 126-entry feature becomes 64 + 62->64pad, not
-    # seven 8-wide segments or a 512-wide one.
+    # Chunk each feature's entry list, minimising padded slots first and
+    # segment count second: full chunks use the largest width <= the
+    # remaining count, but a tail is emitted as ONE rounded-up segment
+    # whenever that wastes no more slots than chopping it (a 126-entry
+    # feature becomes 64 + 62->64pad, never seven 8-wide segments).
     per_bucket: dict[int, list] = {w: [] for w in widths}  # w -> [(feat, lo, hi)]
     desc = sorted(widths, reverse=True)
     asc = sorted(widths)
@@ -85,13 +85,18 @@ def build_block_layout(
             continue
         lo = int(starts[j])
         while c > 0:
-            w = next((x for x in desc if x <= c), None)
-            if w is None:  # remainder: round up to the smallest fitting width
-                w = next(x for x in asc if x >= c)
-            take = min(c, w)
-            per_bucket[w].append((j, lo, lo + take))
-            lo += take
-            c -= take
+            w_fit = next((x for x in desc if x <= c), None)
+            w_up = next((x for x in asc if x >= c), None)
+            if w_fit is None:  # c smaller than every width
+                per_bucket[w_up].append((j, lo, lo + c))
+                break
+            chop_slots = -(-c // w_fit) * w_fit
+            if w_up is not None and w_up <= chop_slots:
+                per_bucket[w_up].append((j, lo, lo + c))
+                break
+            per_bucket[w_fit].append((j, lo, lo + w_fit))
+            lo += w_fit
+            c -= w_fit
 
     buckets = []
     for w in widths:
