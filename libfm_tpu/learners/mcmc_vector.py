@@ -236,7 +236,13 @@ class MCMCVectorLearner(MCMCLearner):
             )
 
         nc_train, nc_test = train.num_rows, test.num_rows
-        ROW_CHUNK = 1 << 18  # prediction rows per scan step
+        # prediction rows per scan step, sized so the PADDED [C, L, d]
+        # gather temp stays ~<=300MB: the TPU (8,128) tile pads L up to 8
+        # and d up to the next 128 multiple (d=129 doubles!)
+        _L = max(1, int(np.diff(train.indptr).max()) if train.nnz else 1)
+        _Lp = ((_L + 7) // 8) * 8
+        _dp = ((d + 127) // 128) * 128
+        ROW_CHUNK = int(max(512, min(1 << 18, (300 << 20) // (_Lp * _dp * 4))))
 
         def _chunk_rows(ids_np, vals_np):
             nr, L = ids_np.shape
