@@ -396,8 +396,13 @@ class MCMCVectorLearner(MCMCLearner):
             )  # [F, d]
 
             # sufficient statistics accumulated over buckets, each bucket
-            # scanned in chunks of C segments (bounded HBM temps)
-            GG = jnp.zeros((F, (d + 1) * (d + 1)), f)  # [[H|e]^T [H|e]] flat
+            # scanned in chunks of C segments (bounded HBM temps). GG is
+            # allocated at the feature-chunk-padded size up front so the
+            # Cholesky-draw scan can reshape it without a full-F copy
+            # (at k=128, F=40K a [F, d, d] copy alone is ~5 GB padded).
+            FC = 8192
+            Fpad = ((F + FC - 1) // FC) * FC
+            GG = jnp.zeros((Fpad, (d + 1) * (d + 1)), f)  # [[H|e]^T[H|e]]
 
             def _slot_hM(sc, sv, sf):
                 A_slot = A[sc]  # [C, W, 1+k] row gather
@@ -422,17 +427,13 @@ class MCMCVectorLearner(MCMCLearner):
                         preferred_element_type=jnp.float32,
                     ).astype(f)
                     GG = GG + seg_sum(
-                        Gseg.reshape(Gseg.shape[0], -1), sf, F
+                        Gseg.reshape(Gseg.shape[0], -1), sf, Fpad
                     )
                     return GG, None
 
                 GG, _ = jax.lax.scan(
                     stats_chunk, GG, (b.slot_case, b.slot_val, b.seg_feat)
                 )
-
-            GG = GG.reshape(F, d + 1, d + 1)
-            HtH = GG[:, :d, :d]
-            Hte = GG[:, :d, d]
 
             lam = jnp.concatenate(
                 [w_lambda_g[groups][:, None], v_lambda_g[groups]], axis=1
@@ -446,9 +447,8 @@ class MCMCVectorLearner(MCMCLearner):
                 mu_pr = mu_pr.at[:, 0].set(0.0)
 
             # batched Cholesky draws, scanned over feature chunks so the
-            # [FC, d, d] linear-algebra temps stay bounded
-            FC = 8192
-            Fpad = ((F + FC - 1) // FC) * FC
+            # [FC, d, d] linear-algebra temps stay bounded. Only the
+            # small [F, d] vectors are padded (the big GG already is).
 
             def _padF(x, fill=0.0):
                 pad = Fpad - F
@@ -457,8 +457,7 @@ class MCMCVectorLearner(MCMCLearner):
                 w_ = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
                 return jnp.pad(x, w_, constant_values=fill)
 
-            HtH_c = _padF(HtH).reshape(-1, FC, d, d)
-            Hte_c = _padF(Hte).reshape(-1, FC, d)
+            GG_c = GG.reshape(-1, FC, d + 1, d + 1)  # free reshape
             th_c = _padF(theta_old).reshape(-1, FC, d)
             lam_c = _padF(lam, fill=1.0).reshape(-1, FC, d)
             mu_c = _padF(mu_pr).reshape(-1, FC, d)
@@ -471,7 +470,9 @@ class MCMCVectorLearner(MCMCLearner):
                 z_c = jnp.zeros((Fpad // FC, FC, d), f)
 
             def draw_chunk(_, inp):
-                HtHf, Htef, thf, lamf, muf, zf = inp
+                GGf, thf, lamf, muf, zf = inp
+                HtHf = GGf[:, :d, :d]
+                Htef = GGf[:, :d, d]
                 Lam = alpha * HtHf + jax.vmap(jnp.diag)(lamf)
                 b_vec = (
                     alpha * jnp.einsum("fij,fj->fi", HtHf, thf)
@@ -494,7 +495,7 @@ class MCMCVectorLearner(MCMCLearner):
                 return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
 
             _, (theta_new_c, rej_c) = jax.lax.scan(
-                draw_chunk, None, (HtH_c, Hte_c, th_c, lam_c, mu_c, z_c)
+                draw_chunk, None, (GG_c, th_c, lam_c, mu_c, z_c)
             )
             theta_new = theta_new_c.reshape(Fpad, d)[:F]
             n_rej = rej_c.sum()
