@@ -76,42 +76,90 @@ def build_block_layout(
     # remaining count, but a tail is emitted as ONE rounded-up segment
     # whenever that wastes no more slots than chopping it (a 126-entry
     # feature becomes 64 + 62->64pad, never seven 8-wide segments).
+    # Vectorised over features (the per-feature Python loop costs minutes
+    # at 1M-vocab scale): walk the width ladder from largest to smallest,
+    # computing for every feature at once how many full chunks of this
+    # width it emits and whether its remainder is absorbed as a single
+    # rounded-up segment of this width.
     per_bucket: dict[int, list] = {w: [] for w in widths}  # w -> [(feat, lo, hi)]
     desc = sorted(widths, reverse=True)
-    asc = sorted(widths)
-    for j in range(F):
-        c = int(counts[j])
-        if c == 0:
-            continue
-        lo = int(starts[j])
-        while c > 0:
-            w_fit = next((x for x in desc if x <= c), None)
-            w_up = next((x for x in asc if x >= c), None)
-            if w_fit is None:  # c smaller than every width
-                per_bucket[w_up].append((j, lo, lo + c))
-                break
-            chop_slots = -(-c // w_fit) * w_fit
-            if w_up is not None and w_up <= chop_slots:
-                per_bucket[w_up].append((j, lo, lo + c))
-                break
-            per_bucket[w_fit].append((j, lo, lo + w_fit))
-            lo += w_fit
-            c -= w_fit
+
+    rem = counts.astype(np.int64).copy()  # remaining entries per feature
+    lo_now = starts[:-1].copy()  # next unchunked entry per feature
+    feat_ids = np.arange(F, dtype=np.int64)
+    for li, w in enumerate(desc):
+        larger = desc[li - 1] if li > 0 else None
+        # full chunks of width w: while rem >= w (but stop one short when
+        # the final remainder would round up INTO this same width level —
+        # handled by the absorb rule below)
+        n_full = rem // w
+        tail = rem - n_full * w
+        # absorb rule: after emitting the full chunks, a tail t with
+        # 0 < t < w is a candidate for a single segment of width w
+        # (cost w) vs chopping at smaller widths (cost >= roundup at the
+        # next width down). Absorb here iff w <= roundup(t, next_smaller)
+        # ... which for a width ladder means t > w - next_smaller, or
+        # this is the smallest width.
+        smaller = desc[li + 1] if li + 1 < len(desc) else None
+        if smaller is None:
+            absorb = tail > 0
+        else:
+            absorb = tail > (w - smaller)
+        # ALSO: a remainder that rounds up past the next-larger width
+        # never happens (rem < larger by construction after level li-1).
+        n_seg = n_full + absorb.astype(np.int64)
+        has = n_seg > 0
+        if has.any():
+            js = feat_ids[has]
+            reps = n_seg[has]
+            seg_feat_w = np.repeat(js, reps)
+            # per-segment lo offsets: lo_now[j] + w * (0..n_seg-1)
+            seg_idx = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+            )
+            seg_lo = np.repeat(lo_now[has], reps) + w * seg_idx
+            # hi: full chunks end at lo+w; an absorbed tail segment ends
+            # at the feature's last entry
+            last_of_feat = np.repeat(
+                (lo_now + n_full * w + tail)[has], reps
+            )
+            seg_hi = np.minimum(seg_lo + w, last_of_feat)
+            per_bucket[w] = list(zip(seg_feat_w, seg_lo, seg_hi))
+        consumed = n_full * w + np.where(absorb, tail, 0)
+        lo_now = lo_now + consumed
+        rem = rem - consumed
 
     buckets = []
     for w in widths:
         segs = per_bucket[w]
         if not segs:
             continue
-        nseg = len(segs)
+        seg_feat_w, seg_lo, seg_hi = (
+            np.asarray(x, dtype=np.int64) for x in zip(*segs)
+        )
+        # sort segments by feature so per-feature combination downstream
+        # is a sorted segment-sum
+        order2 = np.argsort(seg_feat_w, kind="stable")
+        seg_feat_w, seg_lo, seg_hi = (
+            seg_feat_w[order2], seg_lo[order2], seg_hi[order2]
+        )
+        nseg = len(seg_feat_w)
+        seg_len = seg_hi - seg_lo
+        total = int(seg_len.sum())
         slot_case = np.full((nseg, w), num_rows, dtype=np.int32)
         slot_val = np.zeros((nseg, w), dtype=np.float32)
-        seg_feat = np.empty(nseg, dtype=np.int32)
-        for s, (j, lo, hi) in enumerate(segs):
-            seg_feat[s] = j
-            slot_case[s, : hi - lo] = er[lo:hi]
-            slot_val[s, : hi - lo] = ev[lo:hi]
-        buckets.append(WidthBucket(w, slot_case, slot_val, seg_feat))
+        # vectorised ragged fill (a Python per-segment loop costs minutes
+        # at 1M-vocab scale)
+        prefix = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+        flat = np.arange(total, dtype=np.int64)
+        within = flat - np.repeat(prefix, seg_len)
+        src = np.repeat(seg_lo, seg_len) + within
+        dst_row = np.repeat(np.arange(nseg, dtype=np.int64), seg_len)
+        slot_case[dst_row, within] = er[src]
+        slot_val[dst_row, within] = ev[src]
+        buckets.append(
+            WidthBucket(w, slot_case, slot_val, seg_feat_w.astype(np.int32))
+        )
 
     return VectorBlockLayout(
         features=np.asarray(features, dtype=np.int32),
