@@ -457,7 +457,10 @@ class MCMCVectorLearner(MCMCLearner):
                 w_ = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
                 return jnp.pad(x, w_, constant_values=fill)
 
-            GG_c = GG.reshape(-1, FC, d + 1, d + 1)  # free reshape
+            # split only the LEADING dim (a true free reshape — going
+            # straight to [.., d+1, d+1] would materialise all of GG with
+            # 2x tile padding); each chunk reshapes to square on its own
+            GG_c = GG.reshape(-1, FC, (d + 1) * (d + 1))
             th_c = _padF(theta_old).reshape(-1, FC, d)
             lam_c = _padF(lam, fill=1.0).reshape(-1, FC, d)
             mu_c = _padF(mu_pr).reshape(-1, FC, d)
@@ -471,8 +474,9 @@ class MCMCVectorLearner(MCMCLearner):
 
             def draw_chunk(_, inp):
                 GGf, thf, lamf, muf, zf = inp
-                HtHf = GGf[:, :d, :d]
-                Htef = GGf[:, :d, d]
+                GGm = GGf.reshape(FC, d + 1, d + 1)
+                HtHf = GGm[:, :d, :d]
+                Htef = GGm[:, :d, d]
                 Lam = alpha * HtHf + jax.vmap(jnp.diag)(lamf)
                 b_vec = (
                     alpha * jnp.einsum("fij,fj->fi", HtHf, thf)
