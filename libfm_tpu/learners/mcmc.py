@@ -821,6 +821,8 @@ class MCMCLearner:
                 train=train_metric,
                 this=m_this, all=m_all, but5=m_but5,
                 alpha=state.alpha, rejected=state.rejected,
+                w_mu=state.w_mu, w_lambda=state.w_lambda,
+                v_mu=state.v_mu, v_lambda=state.v_lambda,
             )
             return new_state, metrics
 
@@ -856,6 +858,16 @@ class MCMCLearner:
             m = metrics
             self.rlog.log("time_learn", dt)
             self.rlog.log("alpha", float(m["alpha"]))
+            if "w_mu" in m:
+                w_mu = np.asarray(m["w_mu"]); w_lam = np.asarray(m["w_lambda"])
+                v_mu = np.asarray(m["v_mu"]); v_lam = np.asarray(m["v_lambda"])
+                for g in range(len(w_mu)):
+                    self.rlog.log(f"wmu[{g}]", float(w_mu[g]))
+                    self.rlog.log(f"wlambda[{g}]", float(w_lam[g]))
+                for g in range(v_mu.shape[0]):
+                    for fc in range(v_mu.shape[1]):
+                        self.rlog.log(f"vmu[{g},{fc}]", float(v_mu[g, fc]))
+                        self.rlog.log(f"vlambda[{g},{fc}]", float(v_lam[g, fc]))
             if self.task == TASK_REGRESSION:
                 self.rlog.log("rmse", float(m["all"][0]))
                 self.rlog.log("mae", float(m["all"][1]))
@@ -894,6 +906,19 @@ class MCMCLearner:
                 "ll_mcmc_this", "ll_mcmc_all", "ll_mcmc_all_but5",
             ):
                 self.rlog.add_field(fname, nan)
+        # per-group hyperparameter columns (fm_learn_mcmc.h:444-449, 521-526)
+        for g in range(self._num_groups_for_log()):
+            self.rlog.add_field(f"wmu[{g}]", nan)
+            self.rlog.add_field(f"wlambda[{g}]", nan)
+        for g in range(self._num_groups_for_log()):
+            for fc in range(self.cfg.num_factors):
+                self.rlog.add_field(f"vmu[{g},{fc}]", nan)
+                self.rlog.add_field(f"vlambda[{g},{fc}]", nan)
+
+    def _num_groups_for_log(self) -> int:
+        if self.attr_group_np is None:
+            return 1
+        return int(self.attr_group_np.max()) + 1
 
     # ---------------------------------------------------------- inference
     def predict(self, test: Dataset) -> np.ndarray:

@@ -653,6 +653,8 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         metrics = dict(
             train=train_metric, this=m_this, all=m_all, but5=m_but5,
             alpha=state["alpha"], rejected=state["rejected"],
+            w_mu=state["w_mu"], w_lambda=state["w_lambda"],
+            v_mu=state["v_mu"], v_lambda=state["v_lambda"],
         )
         return new_state, metrics
 
