@@ -426,8 +426,13 @@ class MCMCVectorLearner(MCMCLearner):
                         "swi,swj->sij", M, M,
                         preferred_element_type=jnp.float32,
                     ).astype(f)
-                    GG = GG + seg_sum(
-                        Gseg.reshape(Gseg.shape[0], -1), sf, Fpad
+                    # row scatter-add touches only this chunk's feature
+                    # rows; a full `GG + seg_sum(...)` would rewrite the
+                    # whole multi-GB carry on every scan step (measured:
+                    # that dominated k=128 sweeps)
+                    GG = GG.at[sf].add(
+                        Gseg.reshape(Gseg.shape[0], -1),
+                        indices_are_sorted=True,
                     )
                     return GG, None
 
