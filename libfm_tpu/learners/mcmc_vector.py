@@ -489,16 +489,16 @@ class MCMCVectorLearner(MCMCLearner):
                     + lamf * muf
                 )
                 chol = jnp.linalg.cholesky(Lam)
-                mu_post = jax.scipy.linalg.cho_solve(
-                    (chol, True), b_vec[..., None]
+                # mu + L^-T z = L^-T (L^-1 b + z): two triangular solves
+                # total instead of three (cho_solve is itself two)
+                y_low = jax.scipy.linalg.solve_triangular(
+                    chol, b_vec[..., None], lower=True
                 )[..., 0]
                 if do_sample:
-                    pert = jax.scipy.linalg.solve_triangular(
-                        jnp.swapaxes(chol, -1, -2), zf[..., None], lower=False
-                    )[..., 0]
-                    th_new = mu_post + pert
-                else:
-                    th_new = mu_post
+                    y_low = y_low + zf
+                th_new = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(chol, -1, -2), y_low[..., None], lower=False
+                )[..., 0]
                 ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
                 th_new = jnp.where(ok, th_new, thf)
                 return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
