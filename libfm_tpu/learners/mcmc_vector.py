@@ -8,15 +8,19 @@ reference's scalar sweep (/root/reference/src/libfm/src/fm_learn_mcmc.h:
 430-641, one coordinate at a time with O(k) cache passes), this engine:
 
 - keeps ONE device array A = [e | Q] (residual + per-factor linear
-  caches, [num_rows+1, 1+k], sentinel last row for padding);
-- per block does exactly one row-gather of A into the static bucketed
-  slot layout (data/vector_layout.py), computes every feature's
-  sufficient statistics H^T H, H^T e with batched MXU matmuls, draws all
-  theta_j via batched Cholesky, and applies the e/Q updates with one
-  row-scatter;
-- each iteration refreshes A and computes train/test predictions with
-  one row-gather of the packed parameter table [w | V] over the padded
-  [num_rows, L] case layout.
+  caches, [num_rows + SLOT_BUDGET, 1+k]; the tail rows are zero dummy
+  targets for padding slots, each with a UNIQUE id so scatters stay on
+  the unique-indices fast path);
+- per block: one chunked row-gather pass of A over the static bucketed
+  slot layout (data/vector_layout.py) accumulating every feature's
+  sufficient statistics H^T H, H^T e with batched MXU matmuls, batched
+  Cholesky draws of all theta_j (feature-chunked), and one chunked
+  gather+scatter pass applying the e/Q updates — every unbounded temp
+  lives inside a lax.scan chunk, so HBM stays bounded at any scale;
+- each iteration rebuilds A in place (dynamic_update_slice under a
+  donated scan carry) while computing train metrics, and computes test
+  predictions from one chunked row-gather of the packed parameter table
+  [w | V] over the padded [num_rows, L] case layout.
 
 Because features inside a conflict-free block share no training rows,
 drawing them in parallel from the block snapshot is EXACTLY the
