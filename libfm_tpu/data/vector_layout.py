@@ -37,6 +37,9 @@ class WidthBucket:
     slot_case: np.ndarray  # int32 [nseg, W] (sentinel = num_rows)
     slot_val: np.ndarray  # float32 [nseg, W]
     seg_feat: np.ndarray  # int32 [nseg] — index into the block's features
+    seg_whole: np.ndarray = None  # bool [nseg] — segment holds the WHOLE
+    # feature (single-segment feature): eligible for the dual (Woodbury)
+    # c x c draw instead of the dense d x d one
 
     @property
     def nseg(self) -> int:
@@ -157,8 +160,12 @@ def build_block_layout(
         dst_row = np.repeat(np.arange(nseg, dtype=np.int64), seg_len)
         slot_case[dst_row, within] = er[src]
         slot_val[dst_row, within] = ev[src]
+        seg_whole = seg_len == counts[seg_feat_w]
         buckets.append(
-            WidthBucket(w, slot_case, slot_val, seg_feat_w.astype(np.int32))
+            WidthBucket(
+                w, slot_case, slot_val, seg_feat_w.astype(np.int32),
+                seg_whole,
+            )
         )
 
     return VectorBlockLayout(

@@ -70,15 +70,23 @@ from dataclasses import dataclass
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DevBucket:
-    """Device copy of one width bucket; `width` is static (pytree aux)."""
+    """Device copy of one width bucket; `width` is static (pytree aux).
+
+    `seg_feat` is the block-local feature id (used by the update pass and
+    the dual draws); `seg_feat2` is the DENSE-LOCAL remapped id used when
+    accumulating this bucket's stats into the dense GG (equal to seg_feat
+    for dual buckets, where it is unused)."""
 
     slot_case: jax.Array
     slot_val: jax.Array
     seg_feat: jax.Array
+    seg_feat2: jax.Array
     width: int
 
     def tree_flatten(self):
-        return (self.slot_case, self.slot_val, self.seg_feat), self.width
+        return (
+            self.slot_case, self.slot_val, self.seg_feat, self.seg_feat2
+        ), self.width
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -88,19 +96,30 @@ class DevBucket:
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DevLayout:
-    """Device copy of one block layout; `F` is static (pytree aux)."""
+    """Device copy of one block layout; `F`/`F_dense` are static (aux).
+
+    `buckets` hold segments whose features need the dense d x d draw;
+    `dual_buckets` hold whole-feature segments drawn through the dual
+    (Woodbury) c x c system; `dense_feats` lists the block-local ids of
+    the dense features (the GG stats array is sized by them)."""
 
     features: jax.Array
     groups: jax.Array
     buckets: list
+    dual_buckets: list
+    dense_feats: jax.Array
     F: int
+    F_dense: int
 
     def tree_flatten(self):
-        return (self.features, self.groups, self.buckets), self.F
+        return (
+            self.features, self.groups, self.buckets, self.dual_buckets,
+            self.dense_feats,
+        ), (self.F, self.F_dense)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], F=aux)
+        return cls(*children, F=aux[0], F_dense=aux[1])
 
 
 class MCMCVectorLearner(MCMCLearner):
@@ -113,10 +132,15 @@ class MCMCVectorLearner(MCMCLearner):
     the data axis. tests/test_sharding.py asserts sharded == single
     device."""
 
-    def __init__(self, *args, widths=(8, 64, 512), mesh=None, **kwargs):
+    def __init__(self, *args, widths=(8, 64, 512), mesh=None,
+                 dual_draws=True, **kwargs):
         super().__init__(*args, **kwargs)
         self.widths = widths
         self.mesh = mesh
+        # dual_draws: draw whole-feature segments through the c x c
+        # Woodbury system instead of the dense d x d one (identical
+        # distribution; large win when most features have few entries)
+        self.dual_draws = dual_draws
 
     # ----------------------------------------------------------- layout
     def _build_vector_layouts(self, train: Dataset):
@@ -186,7 +210,10 @@ class MCMCVectorLearner(MCMCLearner):
         SLOT_BUDGET = 1 << 18  # slots gathered per scan step
         SEG_BUDGET = 8192  # segments per step (bounds the [C, d+1, d+1] temp)
 
-        def _put_bucket(b):
+        def _put_bucket(b, sf2, pad_sf):
+            """Chunk a host bucket for lax.scan. `sf2` is the secondary
+            (dense-remapped) per-segment id array; `pad_sf` the feature
+            sentinel used for padding segments."""
             sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
             C = max(1, min(SLOT_BUDGET // b.width, SEG_BUDGET))
             if mesh is not None:
@@ -197,11 +224,13 @@ class MCMCVectorLearner(MCMCLearner):
                     [sc, np.full((pad, b.width), train.num_rows, np.int32)]
                 )
                 sv = np.concatenate([sv, np.zeros((pad, b.width), np.float32)])
-                sf = np.concatenate([sf, np.zeros(pad, np.int32)])
+                sf = np.concatenate([sf, np.full(pad, pad_sf, np.int32)])
+                sf2 = np.concatenate([sf2, np.zeros(pad, np.int32)])
             nchunk = len(sf) // C
             sc = sc.reshape(nchunk, C, b.width).copy()
             sv = sv.reshape(nchunk, C, b.width)
             sf = sf.reshape(nchunk, C)
+            sf2 = sf2.reshape(nchunk, C)
             # padding slots get UNIQUE dummy row ids (nc + position) so
             # every per-chunk scatter has unique indices — the TPU
             # scatter fast path instead of a sort-based combine. Dummy
@@ -219,23 +248,64 @@ class MCMCVectorLearner(MCMCLearner):
                     slot_case=jax.device_put(jnp.asarray(sc), sh3),
                     slot_val=jax.device_put(jnp.asarray(sv, dtype=f), sh3),
                     seg_feat=jax.device_put(jnp.asarray(sf), sh2),
+                    seg_feat2=jax.device_put(jnp.asarray(sf2), sh2),
                     width=b.width,
                 )
             return DevBucket(
                 slot_case=jnp.asarray(sc),
                 slot_val=jnp.asarray(sv, dtype=f),
                 seg_feat=jnp.asarray(sf),
+                seg_feat2=jnp.asarray(sf2),
                 width=b.width,
             )
 
+        from libfm_tpu.data.vector_layout import WidthBucket as _WB
+
         dev_layouts = []
         for lay in layouts:
+            F = lay.num_features
+            # split into dual-eligible (whole single-segment features
+            # drawn through the c x c Woodbury system) and dense buckets
+            dual_host, dense_host = [], []
+            for b in lay.buckets:
+                elig = (
+                    np.asarray(b.seg_whole)
+                    & (b.width < d)
+                    & (b.width <= 64)
+                    if self.dual_draws
+                    else np.zeros(len(b.seg_feat), dtype=bool)
+                )
+                if elig.any():
+                    dual_host.append(_WB(
+                        b.width, b.slot_case[elig], b.slot_val[elig],
+                        b.seg_feat[elig], b.seg_whole[elig],
+                    ))
+                if (~elig).any():
+                    dense_host.append(_WB(
+                        b.width, b.slot_case[~elig], b.slot_val[~elig],
+                        b.seg_feat[~elig], b.seg_whole[~elig],
+                    ))
+            feat_is_dual = np.zeros(F, dtype=bool)
+            for db in dual_host:
+                feat_is_dual[db.seg_feat] = True
+            dense_feats = np.nonzero(~feat_is_dual)[0].astype(np.int32)
+            dense_map = np.zeros(F, dtype=np.int32)
+            dense_map[dense_feats] = np.arange(len(dense_feats), dtype=np.int32)
             dev_layouts.append(
                 DevLayout(
                     features=jnp.asarray(lay.features),
                     groups=jnp.asarray(lay.groups),
-                    buckets=[_put_bucket(b) for b in lay.buckets],
-                    F=lay.num_features,
+                    buckets=[
+                        _put_bucket(b, dense_map[b.seg_feat], 0)
+                        for b in dense_host
+                    ],
+                    dual_buckets=[
+                        _put_bucket(b, b.seg_feat.copy(), F)
+                        for b in dual_host
+                    ],
+                    dense_feats=jnp.asarray(dense_feats),
+                    F=F,
+                    F_dense=len(dense_feats),
                 )
             )
 
@@ -399,14 +469,15 @@ class MCMCVectorLearner(MCMCLearner):
                 [w[feats][:, None], V[feats]], axis=1
             )  # [F, d]
 
-            # sufficient statistics accumulated over buckets, each bucket
-            # scanned in chunks of C segments (bounded HBM temps). GG is
-            # allocated at the feature-chunk-padded size up front so the
-            # Cholesky-draw scan can reshape it without a full-F copy
-            # (at k=128, F=40K a [F, d, d] copy alone is ~5 GB padded).
+            Fd = lay.F_dense
+            # dense-path sufficient statistics, accumulated bucket by
+            # bucket in chunks of C segments (bounded HBM temps). GG is
+            # sized by the DENSE features only (dual features never touch
+            # it) and chunk-padded up front so the Cholesky-draw scan can
+            # reshape it without a full-size copy.
             FC = 8192
-            Fpad = ((F + FC - 1) // FC) * FC
-            GG = jnp.zeros((Fpad, (d + 1) * (d + 1)), f)  # [[H|e]^T[H|e]]
+            Fd_pad = ((max(Fd, 1) + FC - 1) // FC) * FC
+            GG = jnp.zeros((Fd_pad, (d + 1) * (d + 1)), f)  # [[H|e]^T[H|e]]
 
             def _slot_hM(sc, sv, sf):
                 A_slot = A[sc]  # [C, W, 1+k] row gather
@@ -423,7 +494,7 @@ class MCMCVectorLearner(MCMCLearner):
 
             for b in lay.buckets:
                 def stats_chunk(GG, inp):
-                    sc, sv, sf = inp
+                    sc, sv, sf, sf2 = inp
                     e_slot, qp, h = _slot_hM(sc, sv, sf)
                     M = jnp.concatenate([h, e_slot[..., None]], axis=-1)
                     Gseg = jnp.einsum(
@@ -434,14 +505,15 @@ class MCMCVectorLearner(MCMCLearner):
                     # rows; a full `GG + seg_sum(...)` would rewrite the
                     # whole multi-GB carry on every scan step (measured:
                     # that dominated k=128 sweeps)
-                    GG = GG.at[sf].add(
+                    GG = GG.at[sf2].add(
                         Gseg.reshape(Gseg.shape[0], -1),
                         indices_are_sorted=True,
                     )
                     return GG, None
 
                 GG, _ = jax.lax.scan(
-                    stats_chunk, GG, (b.slot_case, b.slot_val, b.seg_feat)
+                    stats_chunk, GG,
+                    (b.slot_case, b.slot_val, b.seg_feat, b.seg_feat2),
                 )
 
             lam = jnp.concatenate(
@@ -455,69 +527,142 @@ class MCMCVectorLearner(MCMCLearner):
                 lam = lam.at[:, 0].set(1e30)
                 mu_pr = mu_pr.at[:, 0].set(0.0)
 
-            # batched Cholesky draws, scanned over feature chunks so the
-            # [FC, d, d] linear-algebra temps stay bounded. Only the
-            # small [F, d] vectors are padded (the big GG already is).
+            # theta buffer with a sentinel row (dual padding segments
+            # scatter there; sliced off at the end)
+            th_buf = jnp.concatenate([theta_old, jnp.zeros((1, d), f)], 0)
+            n_rej = jnp.zeros((), jnp.int32)
 
-            def _padF(x, fill=0.0):
-                pad = Fpad - F
-                if pad == 0:
-                    return x
-                w_ = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-                return jnp.pad(x, w_, constant_values=fill)
+            # ---- dense path: batched d x d Cholesky draws over feature
+            # chunks ([FC, d, d] linear-algebra temps stay bounded) ----
+            if Fd > 0:
+                dfeats = lay.dense_feats
 
-            # split only the LEADING dim (a true free reshape — going
-            # straight to [.., d+1, d+1] would materialise all of GG with
-            # 2x tile padding); each chunk reshapes to square on its own
-            GG_c = GG.reshape(-1, FC, (d + 1) * (d + 1))
-            th_c = _padF(theta_old).reshape(-1, FC, d)
-            lam_c = _padF(lam, fill=1.0).reshape(-1, FC, d)
-            mu_c = _padF(mu_pr).reshape(-1, FC, d)
-            if do_sample:
-                key, kz = jax.random.split(key)
-                z_c = jax.random.normal(kz, (Fpad, d), dtype=f).reshape(
-                    -1, FC, d
-                )
-            else:
-                z_c = jnp.zeros((Fpad // FC, FC, d), f)
+                def _padF(x, fill=0.0):
+                    pad = Fd_pad - Fd
+                    if pad == 0:
+                        return x
+                    w_ = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                    return jnp.pad(x, w_, constant_values=fill)
 
-            def draw_chunk(_, inp):
-                GGf, thf, lamf, muf, zf = inp
-                GGm = GGf.reshape(FC, d + 1, d + 1)
-                HtHf = GGm[:, :d, :d]
-                Htef = GGm[:, :d, d]
-                Lam = alpha * HtHf + jax.vmap(jnp.diag)(lamf)
-                b_vec = (
-                    alpha * jnp.einsum("fij,fj->fi", HtHf, thf)
-                    - alpha * Htef
-                    + lamf * muf
-                )
-                chol = jnp.linalg.cholesky(Lam)
-                # mu + L^-T z = L^-T (L^-1 b + z): two triangular solves
-                # total instead of three (cho_solve is itself two)
-                y_low = jax.scipy.linalg.solve_triangular(
-                    chol, b_vec[..., None], lower=True
-                )[..., 0]
+                # split only the LEADING dim (a true free reshape — going
+                # straight to [.., d+1, d+1] would materialise all of GG
+                # with 2x tile padding); chunks reshape to square on
+                # their own
+                GG_c = GG.reshape(-1, FC, (d + 1) * (d + 1))
+                th_c = _padF(theta_old[dfeats]).reshape(-1, FC, d)
+                lam_c = _padF(lam[dfeats], fill=1.0).reshape(-1, FC, d)
+                mu_c = _padF(mu_pr[dfeats]).reshape(-1, FC, d)
                 if do_sample:
-                    y_low = y_low + zf
-                th_new = jax.scipy.linalg.solve_triangular(
-                    jnp.swapaxes(chol, -1, -2), y_low[..., None], lower=False
-                )[..., 0]
-                ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
-                th_new = jnp.where(ok, th_new, thf)
-                return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
+                    key, kz = jax.random.split(key)
+                    z_c = jax.random.normal(kz, (Fd_pad, d), dtype=f).reshape(
+                        -1, FC, d
+                    )
+                else:
+                    z_c = jnp.zeros((Fd_pad // FC, FC, d), f)
 
-            _, (theta_new_c, rej_c) = jax.lax.scan(
-                draw_chunk, None, (GG_c, th_c, lam_c, mu_c, z_c)
-            )
-            theta_new = theta_new_c.reshape(Fpad, d)[:F]
-            n_rej = rej_c.sum()
+                def draw_chunk(_, inp):
+                    GGf, thf, lamf, muf, zf = inp
+                    GGm = GGf.reshape(FC, d + 1, d + 1)
+                    HtHf = GGm[:, :d, :d]
+                    Htef = GGm[:, :d, d]
+                    Lam = alpha * HtHf + jax.vmap(jnp.diag)(lamf)
+                    b_vec = (
+                        alpha * jnp.einsum("fij,fj->fi", HtHf, thf)
+                        - alpha * Htef
+                        + lamf * muf
+                    )
+                    chol = jnp.linalg.cholesky(Lam)
+                    # mu + L^-T z = L^-T (L^-1 b + z): two triangular
+                    # solves total instead of three
+                    y_low = jax.scipy.linalg.solve_triangular(
+                        chol, b_vec[..., None], lower=True
+                    )[..., 0]
+                    if do_sample:
+                        y_low = y_low + zf
+                    th_new = jax.scipy.linalg.solve_triangular(
+                        jnp.swapaxes(chol, -1, -2), y_low[..., None],
+                        lower=False,
+                    )[..., 0]
+                    ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                    th_new = jnp.where(ok, th_new, thf)
+                    return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
+
+                _, (theta_new_c, rej_c) = jax.lax.scan(
+                    draw_chunk, None, (GG_c, th_c, lam_c, mu_c, z_c)
+                )
+                th_buf = th_buf.at[dfeats].set(
+                    theta_new_c.reshape(Fd_pad, d)[:Fd], unique_indices=True
+                )
+                n_rej = n_rej + rej_c.sum()
+
+            # ---- dual path: whole-feature segments drawn through the
+            # c x c Woodbury system (Bhattacharya et al. 2016): with
+            # Lam = D + a H^T H,  Lam^-1 H^T = D^-1 H^T (I + a H D^-1
+            # H^T)^-1, so posterior mean and an exact N(mu, Lam^-1)
+            # sample need only a W x W Cholesky per feature — the d x d
+            # system (and its ~6 full passes over [FC, d, d]) never
+            # materialises. Exactness validated in tests against the
+            # dense path. ----
+            for b in lay.dual_buckets:
+                nch = b.slot_case.shape[0]
+                key, kb_ = jax.random.split(key)
+                ckeys = jax.random.split(kb_, nch)
+
+                def dual_chunk(carry, inp):
+                    th_buf, n_rej = carry
+                    sc, sv, sf, ck = inp
+                    e_slot, qp, h = _slot_hM(sc, sv, sf)  # h [C, W, d]
+                    thf = theta_old[jnp.minimum(sf, F - 1)]
+                    lamf = lam[jnp.minimum(sf, F - 1)]
+                    muf = mu_pr[jnp.minimum(sf, F - 1)]
+                    Dinv = 1.0 / lamf  # [C, d]
+                    sqa = jnp.sqrt(alpha)
+                    Phi = sqa * h  # [C, W, d]
+                    ytil = sqa * (
+                        jnp.einsum("cwd,cd->cw", h, thf - muf) - e_slot
+                    )
+                    Kg = jnp.einsum(
+                        "cwd,cd,cud->cwu", Phi, Dinv, Phi,
+                        preferred_element_type=jnp.float32,
+                    ).astype(f)
+                    W_ = Kg.shape[-1]
+                    Mk = Kg + jnp.eye(W_, dtype=f)
+                    cholK = jnp.linalg.cholesky(Mk)
+                    if do_sample:
+                        ku, kd = jax.random.split(ck)
+                        u = jnp.sqrt(Dinv) * jax.random.normal(
+                            ku, Dinv.shape, dtype=f
+                        )
+                        dl = jax.random.normal(kd, ytil.shape, dtype=f)
+                        v = jnp.einsum("cwd,cd->cw", Phi, u) + dl
+                    else:
+                        u = jnp.zeros_like(Dinv)
+                        v = jnp.zeros_like(ytil)
+                    rhs = (ytil - v)[..., None]
+                    wsol = jax.scipy.linalg.cho_solve((cholK, True), rhs)[..., 0]
+                    phi_vec = u + Dinv * jnp.einsum("cwd,cw->cd", Phi, wsol)
+                    th_new = muf + phi_vec
+                    ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                    th_new = jnp.where(ok, th_new, thf)
+                    th_buf = th_buf.at[sf].set(th_new)
+                    n_rej = n_rej + jnp.sum(
+                        (~ok[:, 0]) & (sf < F)
+                    ).astype(jnp.int32)
+                    return (th_buf, n_rej), None
+
+                (th_buf, n_rej), _ = jax.lax.scan(
+                    dual_chunk, (th_buf, n_rej),
+                    (b.slot_case, b.slot_val, b.seg_feat, ckeys),
+                )
+
+            theta_new = th_buf[:F]
             delta = theta_new - theta_old  # [F, d]
 
             # apply updates: e += x*(dw + qp . dv); Q += x*dv. qp is
             # recomputed per chunk with the PRE-draw V (V is updated after
-            # this loop), which the delta formulas require.
-            for b in lay.buckets:
+            # this loop), which the delta formulas require. Covers both
+            # dense and dual segments (their union is every entry).
+            for b in lay.buckets + lay.dual_buckets:
                 def upd_chunk(A, inp):
                     sc, sv, sf = inp
                     _, qp, _ = _slot_hM_on(A, sc, sv, sf)

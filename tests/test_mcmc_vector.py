@@ -137,3 +137,67 @@ def test_vector_checkpoint_resume(tmp_path, ml_small):
     got = [h["test_this"] for h in b.history]
     want = [h["test_this"] for h in full.history[4:]]
     assert np.allclose(got, want, rtol=1e-4)
+
+
+def test_dual_draw_matches_dense_als(ml_small):
+    """ALS means from the dual (Woodbury) path must equal the dense
+    d x d solve exactly (same linear system, different factorisation)."""
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=8, regw=5, regv=5)
+    a = ALSVectorLearner(cfg, num_iter=8, seed=1, verbose=False, dual_draws=False)
+    a.learn(train, test)
+    b = ALSVectorLearner(cfg, num_iter=8, seed=1, verbose=False, dual_draws=True)
+    b.learn(train, test)
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+
+
+def test_dual_draw_mcmc_converges(ml_small):
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    m = MCMCVectorLearner(cfg, num_iter=20, seed=1, verbose=False, dual_draws=True)
+    m.learn(train, test)
+    assert m.history[-1]["test_all"] < 0.42
+    assert m.history[-1]["rejected"] == 0
+
+
+def test_dual_sampler_distribution():
+    """The Woodbury sampler must produce N(mu, Lam^-1) exactly: check
+    mean and covariance against the closed form on one tiny system."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    c, d = 3, 5
+    H = rng.standard_normal((c, d)).astype(np.float32)
+    lam = (0.5 + rng.random(d)).astype(np.float32)
+    alpha = 1.7
+    e = rng.standard_normal(c).astype(np.float32)
+    th_old = rng.standard_normal(d).astype(np.float32)
+    m = rng.standard_normal(d).astype(np.float32) * 0.1
+
+    Lam = np.diag(lam) + alpha * H.T @ H
+    b = alpha * H.T @ H @ th_old - alpha * H.T @ e + lam * m
+    mu_dense = np.linalg.solve(Lam, b)
+    cov_dense = np.linalg.inv(Lam)
+
+    Dinv = 1.0 / lam
+    Phi = np.sqrt(alpha) * H
+    ytil = np.sqrt(alpha) * (H @ (th_old - m) - e)
+    K = Phi @ np.diag(Dinv) @ Phi.T
+
+    def draw(key):
+        ku, kd = jax.random.split(key)
+        u = jnp.sqrt(Dinv) * jax.random.normal(ku, (d,))
+        dl = jax.random.normal(kd, (c,))
+        v = Phi @ u + dl
+        w = np.linalg.solve(K + np.eye(c), np.asarray(ytil - v))
+        return m + np.asarray(u) + Dinv * (Phi.T @ w)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 4000)
+    samples = np.stack([draw(k) for k in keys])
+    assert np.allclose(samples.mean(0), mu_dense, atol=0.1), (
+        samples.mean(0), mu_dense
+    )
+    assert np.allclose(np.cov(samples.T), cov_dense, atol=0.12)
