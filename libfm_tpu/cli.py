@@ -155,6 +155,9 @@ def main(argv=None) -> int:
     num_all_attribute = max(train.num_features, test.num_features)
     if validation is not None:
         num_all_attribute = max(num_all_attribute, validation.num_features)
+    # a targets-only file (zero features, e.g. a BS main table used
+    # without -relation) still needs a non-empty parameter table
+    num_all_attribute = max(num_all_attribute, 1)
     meta_main = DataMetaInfo(num_all_attribute)
     if args.meta:
         meta_main.load_groups(args.meta)

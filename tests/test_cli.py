@@ -100,3 +100,30 @@ def test_cli_help_exit():
     assert cli.main([]) == 0
     # missing -train with other args is an error
     assert cli.main(["-task", "r"]) == 1
+
+
+def test_cli_targets_only_file(tmp_path):
+    """A libFM file with targets and zero features (e.g. a BS main table
+    run without -relation) must train the bias-only model, not crash."""
+    trp = str(tmp_path / "t.libfm")
+    open(trp, "w").write("1.0\n2.0\n3.0\n")
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", trp, "-method", "sgd",
+        "-dim", "1,1,2", "-learn_rate", "0.05", "-iter", "3", "-seed", "1",
+    ])
+    assert rc == 0
+
+
+def test_rlog_header_matches_reference_schema(tmp_path, files):
+    """SGD rlog header must be exactly the reference's column order."""
+    d, trp, tep = files
+    rlog = str(tmp_path / "h.tsv")
+    cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,2", "-learn_rate", "0.01", "-iter", "1", "-rlog", rlog,
+    ])
+    hdr = open(rlog).readline().rstrip("\n").split("\t")
+    assert hdr == [
+        "rmse", "mae", "time_pred", "time_learn", "time_learn2",
+        "time_learn4", "rmse_train",
+    ]
