@@ -119,3 +119,34 @@ def test_reference_binary_reads_our_convert_output(text_file, tmp_path):
     assert "num_cases=3" in out
     assert "num_values=5" in out
     assert "#Iter" in out  # training actually ran on our binary files
+
+
+def test_reference_transpose_interop(text_file, tmp_path):
+    """Our transpose output must equal the reference transpose tool's."""
+    ref_bin = "/tmp/refbuild_test/bin/transpose"
+    if not os.path.exists(ref_bin):
+        pytest.skip("reference transpose not built")
+    x = str(tmp_path / "d.x")
+    convert.main(["--ifile", text_file, "--ofilex", x,
+                  "--ofiley", str(tmp_path / "d.y")])
+    ours = str(tmp_path / "ours.xt")
+    ref = str(tmp_path / "ref.xt")
+    transpose.main(["--ifile", x, "--ofile", ours])
+    subprocess.run([ref_bin, "--ifile", x, "--ofile", ref],
+                   check=True, capture_output=True)
+    assert open(ours, "rb").read() == open(ref, "rb").read()
+
+
+def test_reference_convert_interop(text_file, tmp_path):
+    """Reference convert output must load through our binary reader and
+    equal our own convert output byte-for-byte."""
+    ref_bin = "/tmp/refbuild_test/bin/convert"
+    if not os.path.exists(ref_bin):
+        pytest.skip("reference convert not built")
+    rx, ry = str(tmp_path / "r.x"), str(tmp_path / "r.y")
+    ox, oy = str(tmp_path / "o.x"), str(tmp_path / "o.y")
+    subprocess.run([ref_bin, "--ifile", text_file, "--ofilex", rx,
+                    "--ofiley", ry], check=True, capture_output=True)
+    convert.main(["--ifile", text_file, "--ofilex", ox, "--ofiley", oy])
+    assert open(rx, "rb").read() == open(ox, "rb").read()
+    assert open(ry, "rb").read() == open(oy, "rb").read()
