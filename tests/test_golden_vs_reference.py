@@ -96,3 +96,71 @@ def test_golden_sgd(ref_bin, data_files):
     )
     hist = ours.learn(train, test)
     assert abs(hist[-1][1] - ref[-1]) < 0.07, (hist[-1][1], ref[-1])
+
+
+def test_golden_relational_mcmc(ref_bin, tmp_path):
+    """Block-structure (BS) parity: reference binary vs our relational
+    engine on identical relation files (incl. .xt files produced by OUR
+    transpose tool, which the reference consumes)."""
+    import numpy as np
+
+    from libfm_tpu.data import binary as binio
+    from libfm_tpu.tools import transpose as transpose_tool
+
+    rng = np.random.default_rng(0)
+    nu, ni, nc = 50, 40, 600
+    users = rng.integers(0, nu, nc)
+    items = rng.integers(0, ni, nc)
+    y = (
+        3.0 + 0.4 * rng.standard_normal(nu)[users]
+        + 0.4 * rng.standard_normal(ni)[items]
+        + 0.2 * rng.standard_normal(nc)
+    ).astype(np.float32)
+
+    d = str(tmp_path)
+    for name, nb in (("relu", nu), ("reli", ni)):
+        ip = np.arange(nb + 1, dtype=np.int64)
+        binio.write_sparse_binary(
+            f"{d}/{name}.x", ip, np.arange(nb, dtype=np.int32),
+            np.ones(nb, np.float32), nb,
+        )
+        transpose_tool.main(["--ifile", f"{d}/{name}.x",
+                             "--ofile", f"{d}/{name}.xt"])
+    split = nc // 5
+    np.savetxt(f"{d}/relu.train", users[split:], fmt="%d")
+    np.savetxt(f"{d}/relu.test", users[:split], fmt="%d")
+    np.savetxt(f"{d}/reli.train", items[split:], fmt="%d")
+    np.savetxt(f"{d}/reli.test", items[:split], fmt="%d")
+    with open(f"{d}/bs.train", "w") as fh:
+        fh.writelines(f"{t}\n" for t in y[split:])
+    with open(f"{d}/bs.test", "w") as fh:
+        fh.writelines(f"{t}\n" for t in y[:split])
+
+    out = subprocess.run(
+        [ref_bin, "-task", "r", "-train", f"{d}/bs.train",
+         "-test", f"{d}/bs.test", "-relation", f"{d}/relu,{d}/reli",
+         "-dim", "1,1,4", "-method", "mcmc", "-iter", "25", "-seed", "1"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    ref_rmse = float(
+        [l for l in out.splitlines() if l.startswith("#Iter")][-1]
+        .rsplit("Test=", 1)[1].split()[0]
+    )
+
+    from libfm_tpu import cli
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "-task", "r", "-train", f"{d}/bs.train", "-test", f"{d}/bs.test",
+            "-relation", f"{d}/relu,{d}/reli", "-dim", "1,1,4",
+            "-method", "mcmc", "-iter", "25", "-seed", "1",
+        ])
+    assert rc == 0
+    ours = float(
+        [l for l in buf.getvalue().splitlines() if l.startswith("#Iter")][-1]
+        .rsplit("Test=", 1)[1].split()[0]
+    )
+    assert abs(ours - ref_rmse) < 0.05, (ours, ref_rmse)
