@@ -129,23 +129,51 @@ class StreamingDataset:
             )
         self.min_target = float(self.target.min()) if len(self.target) else 0.0
         self.max_target = float(self.target.max()) if len(self.target) else 0.0
+        self._max_row_nnz: int | None = None
+        #: rows truncated by the most recent iter_batches() pass
+        self.truncated_rows = 0
+        #: entries dropped by the most recent iter_batches() pass
+        self.truncated_entries = 0
+
+    def max_row_nnz(self) -> int:
+        """Max entries in any row, from one cheap seek-only pass over the
+        interleaved size prefixes (no entry data is read)."""
+        if self._max_row_nnz is None:
+            best = 0
+            with open(self.x_path, "rb") as fh:
+                fh.seek(_FMATRIX_HEADER.size)
+                for _ in range(self.num_rows):
+                    (size,) = struct.unpack("<I", fh.read(4))
+                    if size > best:
+                        best = size
+                    fh.seek(8 * size, 1)
+            self._max_row_nnz = best
+        return self._max_row_nnz
 
     def iter_batches(self, batch_size: int, max_nnz: int):
         """Yield (ids[B, L], vals[B, L], y[B], mask[B]) padded batches.
 
-        Rows with more than max_nnz entries are truncated (caller picks
-        max_nnz from data stats); the final partial batch is zero-padded.
+        Rows with more than max_nnz entries are truncated; the count of
+        truncated rows/entries for the pass is recorded in
+        `self.truncated_rows` / `self.truncated_entries` (use
+        `max_row_nnz()` to pick a lossless max_nnz). The final partial
+        batch is zero-padded.
         """
         buf_ids = np.zeros((batch_size, max_nnz), dtype=np.int32)
         buf_vals = np.zeros((batch_size, max_nnz), dtype=np.float32)
         buf_y = np.zeros(batch_size, dtype=np.float32)
         fill = 0
+        self.truncated_rows = 0
+        self.truncated_entries = 0
         for row_start, indptr, cols, vals, _, _ in stream_sparse_binary(
             self.x_path, self.entry_budget
         ):
             for i in range(len(indptr) - 1):
                 s, e = indptr[i], indptr[i + 1]
                 ln = min(int(e - s), max_nnz)
+                if e - s > ln:
+                    self.truncated_rows += 1
+                    self.truncated_entries += int(e - s) - ln
                 buf_ids[fill, :ln] = cols[s : s + ln]
                 buf_vals[fill, :ln] = vals[s : s + ln]
                 buf_y[fill] = self.target[row_start + i]

@@ -210,10 +210,13 @@ class MCMCVectorLearner(MCMCLearner):
         SLOT_BUDGET = 1 << 18  # slots gathered per scan step
         SEG_BUDGET = 8192  # segments per step (bounds the [C, d+1, d+1] temp)
 
-        def _put_bucket(b, sf2, pad_sf):
+        def _put_bucket(b, sf2, pad_sf, pad_sf2=0):
             """Chunk a host bucket for lax.scan. `sf2` is the secondary
             (dense-remapped) per-segment id array; `pad_sf` the feature
-            sentinel used for padding segments."""
+            sentinel used for padding segments; `pad_sf2` the sf2 pad
+            value — callers relying on `indices_are_sorted` must pass the
+            max real sf2 so padded chunks stay monotone (padded payloads
+            are exactly zero, so duplicating a real index is harmless)."""
             sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
             C = max(1, min(SLOT_BUDGET // b.width, SEG_BUDGET))
             if mesh is not None:
@@ -225,7 +228,9 @@ class MCMCVectorLearner(MCMCLearner):
                 )
                 sv = np.concatenate([sv, np.zeros((pad, b.width), np.float32)])
                 sf = np.concatenate([sf, np.full(pad, pad_sf, np.int32)])
-                sf2 = np.concatenate([sf2, np.zeros(pad, np.int32)])
+                sf2 = np.concatenate(
+                    [sf2, np.full(pad, pad_sf2, np.int32)]
+                )
             nchunk = len(sf) // C
             sc = sc.reshape(nchunk, C, b.width).copy()
             sv = sv.reshape(nchunk, C, b.width)
@@ -296,7 +301,10 @@ class MCMCVectorLearner(MCMCLearner):
                     features=jnp.asarray(lay.features),
                     groups=jnp.asarray(lay.groups),
                     buckets=[
-                        _put_bucket(b, dense_map[b.seg_feat], 0)
+                        _put_bucket(
+                            b, dense_map[b.seg_feat], 0,
+                            pad_sf2=max(len(dense_feats) - 1, 0),
+                        )
                         for b in dense_host
                     ],
                     dual_buckets=[

@@ -235,12 +235,18 @@ class SGDLearner:
         self.history = history
         return history
 
-    def learn_stream(self, stream, test: Dataset, max_nnz: int = 64):
+    def learn_stream(self, stream, test: Dataset, max_nnz: int | None = None):
         """Out-of-core SGD: one pass per iteration over a
         StreamingDataset (bounded host memory), jitted step per batch.
         The reference's analog is training straight from the
         LargeSparseMatrixHD cache (/root/reference/src/util/fmatrix.h:
-        165-281)."""
+        165-281).
+
+        max_nnz defaults to the stream's true max row length (lossless);
+        passing a smaller value truncates long rows, which is reported
+        via a warning with drop counts."""
+        if max_nnz is None:
+            max_nnz = max(stream.max_row_nnz(), 1)
         if self.params is None:
             self.init_params()
         self.min_target = stream.min_target
@@ -265,6 +271,16 @@ class SGDLearner:
                 )
             jax.block_until_ready(self.params.v)
             dt = time.perf_counter() - t0
+            if it == 0 and stream.truncated_rows:
+                import warnings
+
+                warnings.warn(
+                    f"learn_stream: max_nnz={max_nnz} truncated "
+                    f"{stream.truncated_rows} rows "
+                    f"({stream.truncated_entries} entries dropped); "
+                    "pass max_nnz=None for the lossless default",
+                    stacklevel=2,
+                )
             m_test = self._eval(self.params, *e_arrs, min_t, max_t)
             te = float(m_test[0])
             history.append((float("nan"), te, dt))

@@ -59,6 +59,10 @@ class SGDALearner(SGDLearner):
         self.rlog.add_field("rmse_val", float("nan"))
 
     def learn(self, train: Dataset, test: Dataset, validation: Dataset = None):
+        if train.relations:
+            raise ValueError(
+                "relations are not supported with SGD"
+            )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
         if validation is None:
             raise ValueError("SGDA requires a validation set")
         if self.params is None:

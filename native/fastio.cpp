@@ -184,12 +184,20 @@ static inline char* write_u32(char* p, uint32_t v) {
   return p;
 }
 
+static inline char* write_u64(char* p, uint64_t v) {
+  char tmp[20];
+  int n = 0;
+  do { tmp[n++] = '0' + (char)(v % 10); v /= 10; } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
 static inline char* write_float(char* p, float f) {
   // integers (the common one-hot case) get the compact form
-  if (f == (float)(int64_t)f && f >= -1e15f && f <= 1e15f) {
+  if (f >= -1e15f && f <= 1e15f && f == (float)(int64_t)f) {
     int64_t i = (int64_t)f;
     if (i < 0) { *p++ = '-'; i = -i; }
-    return write_u32(p, (uint32_t)i);
+    return write_u64(p, (uint64_t)i);
   }
   return p + sprintf(p, "%g", (double)f);
 }

@@ -57,6 +57,24 @@ def test_native_write_read_roundtrip(tmp_path):
     assert np.allclose(t2, target, rtol=1e-5)
 
 
+def test_native_write_large_integer_values(tmp_path):
+    # Integer-valued floats >= 2^32 (e.g. millisecond timestamps) must not
+    # be written modulo 2^32 (round-1 advisor finding on write_float).
+    big = np.float32(2.0**33)  # 8589934592, exactly representable in f32
+    indptr = np.array([0, 1, 2], dtype=np.int64)
+    cols = np.array([0, 1], dtype=np.int32)
+    vals = np.array([big, -big], dtype=np.float32)
+    target = np.array([big, 7.0], dtype=np.float32)
+    p = str(tmp_path / "big.libfm")
+    assert fastdata.write_libfm_text(p, indptr, cols, vals, target)
+    text = open(p).read()
+    assert "8589934592" in text
+    assert "-8589934592" in text
+    i2, c2, v2, t2, _ = fastdata.parse_libfm_text(p)
+    assert np.array_equal(v2, vals)
+    assert np.array_equal(t2, target)
+
+
 def test_native_transpose_matches_python():
     from libfm_tpu.data.dataset import _csr_transpose
 
