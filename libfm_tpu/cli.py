@@ -59,7 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     a("-seed", type=int, default=None)
     a("-out", default=None, help="filename for test predictions")
     a("-relation", default="", help="BS: filenames for relations")
-    a("-cache_size", default=None, help="accepted for compatibility (unused)")
+    a(
+        "-cache_size",
+        default=None,
+        help="host-memory budget in bytes for binary training data "
+        "(reference libfm.cpp:98). SGD trains out-of-core (streaming "
+        "epochs) when the binary .x exceeds it; the MCMC/ALS engines' "
+        "scale axis is the device mesh (-mesh), not host streaming.",
+    )
     a("-save_model", default=None)
     a("-load_model", default=None)
     a("-do_sampling", type=int, default=1)
@@ -68,7 +75,21 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     a("-batch_size", type=int, default=1024)
     a("-dtype", default="float32", choices=["float32", "float64", "bfloat16"])
-    a("-mesh", default=None, help="mesh spec 'data,model' e.g. '4,2'")
+    a(
+        "-mesh",
+        default=None,
+        help="device mesh 'data,model' (e.g. '4,2'): shards batches over "
+        "`data` and the w/V parameter tables over `model`. Applies to "
+        "sgd and the vector mcmc/als engine.",
+    )
+    a(
+        "-distributed",
+        type=int,
+        default=0,
+        help="call jax.distributed.initialize() for multi-host runs "
+        "(coordinator/process env: LIBFM_COORDINATOR, LIBFM_NUM_PROCS, "
+        "LIBFM_PROC_ID, or auto-detection)",
+    )
     a("-profile", default=None, help="write a jax.profiler trace to this dir")
     a(
         "-engine",
@@ -88,6 +109,12 @@ def main(argv=None) -> int:
         return 0 if argv in (None, []) else 1
 
     import jax
+
+    if args.distributed:
+        from libfm_tpu.parallel.multihost import init_distributed
+
+        init_distributed()
+
     import jax.numpy as jnp
 
     from libfm_tpu.data.dataset import DataMetaInfo, Dataset
@@ -126,9 +153,37 @@ def main(argv=None) -> int:
                 f"min_target={ds.min_target}\tmax_target={ds.max_target}"
             )
 
-    print("Loading train...")
-    train = Dataset.load(args.train)
-    _debug(train, "train")
+    # -cache_size: stream SGD epochs straight from the binary pair when
+    # the design matrix exceeds the host budget (the reference's
+    # LargeSparseMatrixHD role, /root/reference/src/util/fmatrix.h:165-281)
+    stream_train = None
+    if args.cache_size and method == "sgd":
+        import os as _os
+
+        xp, yp = args.train + ".x", args.train + ".y"
+        budget = int(float(args.cache_size))
+        if _os.path.exists(xp) and _os.path.getsize(xp) > budget:
+            from libfm_tpu.data.streaming import StreamingDataset
+
+            stream_train = StreamingDataset(
+                xp, yp, entry_budget=max(1024, budget // 8)
+            )
+            print(
+                f"Training out-of-core: {xp} "
+                f"({_os.path.getsize(xp)} B > cache_size {budget} B)"
+            )
+    elif args.cache_size and method not in ("sgd",):
+        print(
+            "WARNING: -cache_size streaming applies to SGD; MCMC/ALS "
+            "scale via the device mesh (-mesh)."
+        )
+
+    if stream_train is None:
+        print("Loading train...")
+        train = Dataset.load(args.train)
+        _debug(train, "train")
+    else:
+        train = None
     print("Loading test...")
     test = Dataset.load(args.test)
     _debug(test, "test")
@@ -144,6 +199,9 @@ def main(argv=None) -> int:
 
     # relations (BS)
     rel_names = _split_list(args.relation)
+    if rel_names and stream_train is not None:
+        print("ERROR: -relation is not supported with out-of-core SGD")
+        return 1
     relations = []
     for rn in rel_names:
         rd = RelationData.load(rn)
@@ -152,7 +210,10 @@ def main(argv=None) -> int:
         test.relations.append(RelationJoin.load(rd, rn + ".test", test.num_rows))
 
     # joined meta (libfm.cpp:199-243)
-    num_all_attribute = max(train.num_features, test.num_features)
+    train_nf = (
+        train.num_features if train is not None else stream_train.num_features
+    )
+    num_all_attribute = max(train_nf, test.num_features)
     if validation is not None:
         num_all_attribute = max(num_all_attribute, validation.num_features)
     # a targets-only file (zero features, e.g. a BS main table used
@@ -198,7 +259,7 @@ def main(argv=None) -> int:
 
     task = parse_task(args.task)
     if task == TASK_CLASSIFICATION:
-        train.binarize_targets()
+        (train if train is not None else stream_train).binarize_targets()
         test.binarize_targets()
         if validation is not None:
             validation.binarize_targets()
@@ -218,37 +279,92 @@ def main(argv=None) -> int:
     assert len(lr) in (1, 3), "-learn_rate expects 1 or 3 values"
     learn_rates = tuple(lr) if len(lr) == 3 else (lr[0],) * 3
 
+    mesh = None
+    if args.mesh:
+        from libfm_tpu.parallel.mesh import make_mesh
+
+        parts = [int(x) for x in _split_list(args.mesh)]
+        assert len(parts) in (1, 2), "-mesh expects 'data' or 'data,model'"
+        data_ax = parts[0]
+        model_ax = parts[1] if len(parts) == 2 else 1
+        ndev = len(jax.devices())
+        if data_ax * model_ax > ndev:
+            print(
+                f"ERROR: -mesh {args.mesh} needs {data_ax * model_ax} "
+                f"devices but only {ndev} are available"
+            )
+            return 1
+        mesh = make_mesh(
+            data=data_ax, model=model_ax,
+            devices=jax.devices()[: data_ax * model_ax],
+        )
+
     if method == "sgd":
         from libfm_tpu.learners.sgd import SGDLearner
 
         assert len(reg) in (0, 1, 3), "-regular expects 0, 1 or 3 values"
-        learner = SGDLearner(
-            cfg,
-            task=task,
-            num_iter=args.iter,
-            learn_rates=learn_rates,
-            batch_size=args.batch_size,
-            seed=seed,
-            rlog=rlog,
-        )
+        if mesh is not None:
+            from libfm_tpu.parallel.sharded_sgd import ShardedSGDLearner
+
+            learner = ShardedSGDLearner(
+                cfg,
+                mesh=mesh,
+                task=task,
+                num_iter=args.iter,
+                learn_rates=learn_rates,
+                batch_size=args.batch_size,
+                seed=seed,
+                rlog=rlog,
+            )
+        else:
+            learner = SGDLearner(
+                cfg,
+                task=task,
+                num_iter=args.iter,
+                learn_rates=learn_rates,
+                batch_size=args.batch_size,
+                seed=seed,
+                rlog=rlog,
+            )
         learner.init_params()
         if args.load_model:
             loaded = load_model_text(cfg, args.load_model)
             if loaded is None:
                 print("WARNING: malformed model file. Nothing will be loaded.")
             else:
+                if learner.cfg.num_features != cfg.num_features:
+                    # mesh padding: grow the loaded tables to the padded n
+                    from libfm_tpu.models.fm import FMParams
+
+                    pad = learner.cfg.num_features - cfg.num_features
+                    loaded = FMParams(
+                        w0=loaded.w0,
+                        w=jnp.pad(loaded.w, (0, pad)),
+                        v=jnp.pad(loaded.v, ((0, pad), (0, 0))),
+                    )
                 learner.params = loaded
         if rlog:
             rlog.init()
         with maybe_profile():
-            learner.learn(train, test)
-        print(f"Final\tTrain={learner.evaluate(train):.6g}\tTest={learner.evaluate(test):.6g}")
+            if stream_train is not None:
+                learner.learn_stream(stream_train, test)
+            else:
+                learner.learn(train, test)
+        if stream_train is not None:
+            print(f"Final\tTest={learner.evaluate(test):.6g}")
+        else:
+            print(
+                f"Final\tTrain={learner.evaluate(train):.6g}"
+                f"\tTest={learner.evaluate(test):.6g}"
+            )
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
     elif method == "sgda":
         from libfm_tpu.learners.sgda import SGDALearner
 
         assert validation is not None, "SGDA requires -validation"
+        if mesh is not None:
+            print("WARNING: -mesh is not supported for SGDA; ignoring.")
         learner = SGDALearner(
             cfg,
             attr_group=attr_group,
@@ -272,12 +388,21 @@ def main(argv=None) -> int:
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
     elif method == "mcmc":
+        extra = {}
         if args.engine == "vector" and not train.relations:
             from libfm_tpu.learners.mcmc_vector import (
                 MCMCVectorLearner as MCMCLearner,
             )
+
+            extra["mesh"] = mesh
         else:
             from libfm_tpu.learners.mcmc import MCMCLearner
+
+            if mesh is not None:
+                print(
+                    "WARNING: -mesh applies to the vector engine only; "
+                    "ignoring."
+                )
 
         learner = MCMCLearner(
             cfg,
@@ -290,6 +415,7 @@ def main(argv=None) -> int:
             rlog=rlog,
             attr_group=attr_group,
             dtype=dtype,
+            **extra,
         )
         learner.set_regularization(reg, num_groups)
         learner.register_log_fields()

@@ -135,6 +135,12 @@ class StreamingDataset:
         #: entries dropped by the most recent iter_batches() pass
         self.truncated_entries = 0
 
+    def binarize_targets(self) -> None:
+        """Map targets to +-1 for classification
+        (/root/reference/src/libfm/libfm.cpp:302-305)."""
+        self.target = np.where(self.target > 0.0, 1.0, -1.0).astype(np.float32)
+        self.min_target, self.max_target = -1.0, 1.0
+
     def max_row_nnz(self) -> int:
         """Max entries in any row, from one cheap seek-only pass over the
         interleaved size prefixes (no entry data is read)."""

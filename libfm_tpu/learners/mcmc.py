@@ -53,6 +53,7 @@ from libfm_tpu.models.fm import FMConfig, FMParams
 from libfm_tpu.ops import samplers
 from libfm_tpu.ops.segment import seg_sum
 from libfm_tpu.tasks import TASK_REGRESSION
+from libfm_tpu.utils.timers import iter_clocks
 
 
 # --------------------------------------------------------------------------
@@ -88,6 +89,70 @@ class BlockArrays:
     @property
     def num_features(self):
         return self.features.shape[0]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StackedBlocks:
+    """Many conflict-free blocks padded to common shapes and stacked on a
+    leading axis, drawn sequentially under one lax.scan — EXACT Gibbs
+    order at O(1) compiled-program size (replaces the round-1 merge
+    fallback, whose conflicted parallel updates could diverge).
+
+    Padding uses unique OUT-OF-BOUNDS ids: gathers clamp (and contribute
+    zero through zero entry values) while scatters drop them (JAX's
+    default out-of-bounds semantics), so padded slots change nothing and
+    the unique-indices scatter promise still holds."""
+
+    features: jax.Array  # int32 [B, Fp]
+    groups: jax.Array  # int32 [B, Fp]
+    entry_rows: jax.Array  # int32 [B, Ep]
+    entry_vals: jax.Array  # f [B, Ep]
+    entry_feat: jax.Array  # int32 [B, Ep]
+
+    def tree_flatten(self):
+        return (
+            self.features, self.groups, self.entry_rows, self.entry_vals,
+            self.entry_feat,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_blocks(self):
+        return self.features.shape[0]
+
+
+def _stack_blocks(blocks, attr_group, n_features: int, n_rows: int, dtype):
+    """Host-side builder for StackedBlocks (see its docstring)."""
+    B = len(blocks)
+    Fp = max(len(b.features) for b in blocks)
+    Ep = max(len(b.entry_rows) for b in blocks)
+    feats = np.tile(
+        n_features + np.arange(Fp, dtype=np.int64), (B, 1)
+    ).astype(np.int32)
+    groups = np.zeros((B, Fp), np.int32)
+    erows = np.tile(
+        n_rows + np.arange(Ep, dtype=np.int64), (B, 1)
+    ).astype(np.int32)
+    evals = np.zeros((B, Ep), np.float32)
+    efeat = np.zeros((B, Ep), np.int32)
+    for i, b in enumerate(blocks):
+        nf, ne = len(b.features), len(b.entry_rows)
+        feats[i, :nf] = b.features
+        groups[i, :nf] = attr_group[b.features]
+        erows[i, :ne] = b.entry_rows
+        evals[i, :ne] = b.entry_vals
+        efeat[i, :ne] = b.entry_feat
+    return StackedBlocks(
+        features=jnp.asarray(feats),
+        groups=jnp.asarray(groups),
+        entry_rows=jnp.asarray(erows),
+        entry_vals=jnp.asarray(evals, dtype=dtype),
+        entry_feat=jnp.asarray(efeat),
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -277,18 +342,24 @@ def draw_theta_hyperpriors(
     beta_0,
     mu_0,
     do_sample,
+    valid=None,  # optional [n] 0/1 mask: rows excluded from the stats
 ):
     """Draw (lambda, mu) for one parameter vector, per group.
 
     Order matters and matches draw_all (fm_learn_mcmc.h:444-445): lambda
     is drawn first using the *current* mu, then mu using the new lambda.
     Formulas: draw_w_lambda (:980-1017) and draw_w_mu (:941-978).
+    `valid` masks out mesh-padding parameter rows (TP feature padding)
+    so the group statistics equal the unpadded ones exactly.
     """
     G = num_attr_per_group.shape[0]
     k_lam, k_mu = jax.random.split(key)
-    sum_theta = seg_sum(theta, attr_group, G, sorted_ids=False)
+    theta_s = theta if valid is None else theta * valid
+    sum_theta = seg_sum(theta_s, attr_group, G, sorted_ids=False)
     # lambda
     dev = theta - mu_cur[attr_group]
+    if valid is not None:
+        dev = dev * valid
     lambda_gamma = (
         beta_0 * (mu_cur - mu_0) ** 2 + gamma_0
         + seg_sum(dev * dev, attr_group, G, sorted_ids=False)
@@ -399,8 +470,6 @@ class MCMCLearner:
         if attr_group is None:
             attr_group = np.zeros(self.cfg.num_features, dtype=np.int32)
         blocks = conflict_free_blocks(train, attr_group=attr_group)
-        if len(blocks) > self.max_blocks:
-            blocks = _merge_blocks(blocks, self.max_blocks)
         observed = (
             np.concatenate([b.features for b in blocks])
             if blocks
@@ -412,6 +481,22 @@ class MCMCLearner:
         unobserved = np.nonzero(mask)[0].astype(np.int32)
 
         f = self.dtype
+        stacked = None
+        if len(blocks) > self.max_blocks:
+            # Beyond max_blocks the per-block program would dominate
+            # compile time; the largest blocks stay unrolled (they
+            # dominate the data volume, so padding them would waste HBM)
+            # and the long tail of small blocks runs as an exact
+            # sequential lax.scan over a padded stack.
+            order = np.argsort(
+                [-len(b.entry_rows) for b in blocks], kind="stable"
+            )
+            blocks = [blocks[i] for i in order]
+            head, tail = blocks[: self.max_blocks], blocks[self.max_blocks :]
+            stacked = _stack_blocks(
+                tail, attr_group, self.cfg.num_features, train.num_rows, f
+            )
+            blocks = head
         dev_blocks = [
             BlockArrays(
                 jnp.asarray(b.features),
@@ -424,7 +509,7 @@ class MCMCLearner:
             for b in blocks
         ]
         self._exact_blocks = all(b.exact for b in blocks)
-        return dev_blocks, jnp.asarray(unobserved), jnp.asarray(attr_group)
+        return dev_blocks, stacked, jnp.asarray(unobserved), jnp.asarray(attr_group)
 
     # --------------------------------------------------------------- learn
     def learn(self, train: Dataset, test: Dataset):
@@ -436,7 +521,7 @@ class MCMCLearner:
         self.min_target = train.min_target
         self.max_target = train.max_target
 
-        blocks, unobserved, attr_group = self._build_layout(train)
+        blocks, stacked, unobserved, attr_group = self._build_layout(train)
         G = int(np.max(np.asarray(attr_group))) + 1
         num_attr_per_group = jnp.asarray(
             np.bincount(np.asarray(attr_group), minlength=G).astype(np.float64),
@@ -507,7 +592,8 @@ class MCMCLearner:
         # closure constants (constants are baked into the HLO: slow
         # compiles + duplicate HBM)
         statics = dict(
-            blocks=blocks, unobserved=unobserved, attr_group=attr_group,
+            blocks=blocks, stacked=stacked, unobserved=unobserved,
+            attr_group=attr_group,
             num_attr_per_group=num_attr_per_group,
             tr_rows=tr_rows, tr_cols=tr_cols, tr_vals=tr_vals,
             te_rows=te_rows, te_cols=te_cols, te_vals=te_vals,
@@ -518,13 +604,13 @@ class MCMCLearner:
         if self.checkpoint_path:
             state, start_iter = self._maybe_restore(state)
         for it in range(start_iter, self.num_iter):
-            t0 = time.perf_counter()
+            c0 = iter_clocks()
             state, metrics = iteration(
                 state, y_train, y_test, jnp.asarray(it), eval_mask, statics
             )
             jax.block_until_ready(state.e)
-            dt = time.perf_counter() - t0
-            self._log_iteration(it, metrics, dt)
+            c1 = iter_clocks()
+            self._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))
             if (
                 self.checkpoint_path
                 and self.checkpoint_every
@@ -587,6 +673,7 @@ class MCMCLearner:
 
         def draw_all(state: MCMCState, statics):
             blocks = statics["blocks"]
+            stacked = statics["stacked"]
             unobserved = statics["unobserved"]
             attr_group = statics["attr_group"]
             num_attr_per_group = statics["num_attr_per_group"]
@@ -641,6 +728,25 @@ class MCMCLearner:
                         w, e, blk, w_mu, w_lambda, alpha, do_sample, k1
                     )
                     rej += r
+                if stacked is not None:
+                    key, ks = jax.random.split(key)
+                    skeys = jax.random.split(ks, stacked.num_blocks)
+
+                    def w_stack_body(carry, inp):
+                        w, e, rej = carry
+                        sb, kb = inp
+                        blk = BlockArrays(
+                            sb.features, sb.groups, sb.entry_rows,
+                            sb.entry_vals, sb.entry_feat, exact=True,
+                        )
+                        w, e, r = draw_w_block(
+                            w, e, blk, w_mu, w_lambda, alpha, do_sample, kb
+                        )
+                        return (w, e, rej + r), None
+
+                    (w, e, rej), _ = jax.lax.scan(
+                        w_stack_body, (w, e, rej), (stacked, skeys)
+                    )
                 if n_unobs:
                     key, k1 = jax.random.split(key)
                     w, r = draw_unobserved(
@@ -697,13 +803,34 @@ class MCMCLearner:
                     q = seg_sum(v_f[tr_cols] * tr_vals, tr_rows, nc_train)
                     v_mu_f = jax.lax.dynamic_slice_in_dim(v_mu, fidx, 1, axis=1)[:, 0]
                     v_lam_f = jax.lax.dynamic_slice_in_dim(v_lambda, fidx, 1, axis=1)[:, 0]
-                    keys = jax.random.split(fkey, n_blocks + 1)
+                    keys = jax.random.split(fkey, n_blocks + 2)
                     for bi, blk in enumerate(blocks):
                         v_f, e, q, r = draw_v_block(
                             v_f, e, q, blk, v_mu_f, v_lam_f, alpha,
                             do_sample, keys[bi],
                         )
                         rej += r
+                    if stacked is not None:
+                        skeys = jax.random.split(
+                            keys[n_blocks], stacked.num_blocks
+                        )
+
+                        def v_stack_body(carry, inp):
+                            v_f, e, q, rej = carry
+                            sb, kb = inp
+                            blk = BlockArrays(
+                                sb.features, sb.groups, sb.entry_rows,
+                                sb.entry_vals, sb.entry_feat, exact=True,
+                            )
+                            v_f, e, q, r = draw_v_block(
+                                v_f, e, q, blk, v_mu_f, v_lam_f, alpha,
+                                do_sample, kb,
+                            )
+                            return (v_f, e, q, rej + r), None
+
+                        (v_f, e, q, rej), _ = jax.lax.scan(
+                            v_stack_body, (v_f, e, q, rej), (stacked, skeys)
+                        )
                     if n_unobs:
                         v_f, r = draw_unobserved(
                             v_f, unobserved,
@@ -830,6 +957,16 @@ class MCMCLearner:
 
     # ----------------------------------------------------------- reporting
     def _log_iteration(self, it, metrics, dt):
+        """`dt` is either a wall-seconds float or the (user, cpu, wall)
+        triple from timers.iter_clocks(); the triple populates the
+        reference's time_learn / time_learn2 / time_learn4 fields
+        (fm_learn_mcmc_simultaneous.h:202-208 — time_pred stays NaN for
+        MCMC there too)."""
+        if isinstance(dt, tuple):
+            t_user, t_cpu, t_wall = dt
+        else:
+            t_user = t_cpu = t_wall = dt
+        dt = t_wall
         tr = float(metrics["train"])
         if self.task == TASK_REGRESSION:
             te = float(metrics["all"][0])
@@ -856,7 +993,9 @@ class MCMCLearner:
         )
         if self.rlog is not None:
             m = metrics
-            self.rlog.log("time_learn", dt)
+            self.rlog.log("time_learn", t_user)
+            self.rlog.log("time_learn2", t_cpu)
+            self.rlog.log("time_learn4", t_wall)
             self.rlog.log("alpha", float(m["alpha"]))
             if "w_mu" in m:
                 w_mu = np.asarray(m["w_mu"]); w_lam = np.asarray(m["w_lambda"])
@@ -938,6 +1077,46 @@ class MCMCLearner:
         st = self._final_state
         return FMParams(w0=st.w0, w=st.w, v=st.vt.T)
 
+    def predict_new(self, ds: Dataset, batch_size: int = 8192) -> np.ndarray:
+        """Predictions for data NOT passed to learn().
+
+        The reference cannot do this at all for MCMC (predict_case throws,
+        fm_learn_mcmc.h:141-143; predictions come only from the averaged
+        in-run samples). This uses the final parameter sample as a point
+        estimate: scores via the batched forward, then clamped to the
+        observed target range (regression, fm_learn.h:137-139) or linked
+        through the probit CDF — the MCMC model's own link
+        (fm_learn_mcmc_simultaneous.h:164) — for classification. Less
+        accurate than the posterior-mean `predict()` on the learn-time
+        test set; use that when possible."""
+        from libfm_tpu.data.batching import batch_dataset
+
+        if ds.relations:
+            raise ValueError(
+                "predict_new does not join relational blocks; "
+                "pass the joined design matrix"
+            )
+        params = self.get_params()
+        b = batch_dataset(ds, batch_size)
+        ids, vals = jnp.asarray(b.ids), jnp.asarray(b.vals)
+
+        from libfm_tpu.models.fm import fm_batch_terms
+
+        @jax.jit
+        def fwd(params, ids, vals):
+            def body(_, batch):
+                pred, _ = fm_batch_terms(params, batch[0], batch[1], self.cfg)
+                return None, pred
+
+            _, preds = jax.lax.scan(body, None, (ids, vals))
+            return preds
+
+        scores = np.asarray(fwd(params, ids, vals)).reshape(-1)[: ds.num_rows]
+        if self.task == TASK_REGRESSION:
+            return np.clip(scores, self.min_target, self.max_target)
+        p = np.asarray(samplers.cdf_gaussian(jnp.asarray(scores)))
+        return np.clip(p, 0.0, 1.0)
+
     def _learn_relational(self, train, test):
         from libfm_tpu.learners.mcmc_relational import learn_relational
 
@@ -976,22 +1155,3 @@ def _masked_acc_ll(pred_sum, y, mask, normalizer):
     return acc, -(ll * mask).sum() / n
 
 
-def _merge_blocks(blocks, max_blocks: int):
-    """Merge excess blocks; merged blocks may have within-block row
-    conflicts so the parallel draw becomes approximate (standard parallel
-    Gibbs). Exactness flag is cleared."""
-    if len(blocks) <= max_blocks:
-        return blocks
-    head = blocks[: max_blocks - 1]
-    tail = blocks[max_blocks - 1 :]
-    feats = np.concatenate([b.features for b in tail])
-    rows = np.concatenate([b.entry_rows for b in tail])
-    vals = np.concatenate([b.entry_vals for b in tail])
-    offs = np.cumsum([0] + [len(b.features) for b in tail[:-1]])
-    feat = np.concatenate(
-        [b.entry_feat + o for b, o in zip(tail, offs)]
-    ).astype(np.int32)
-    from libfm_tpu.data.batching import FeatureBlock
-
-    merged = FeatureBlock(feats, rows, vals, feat, exact=False)
-    return head + [merged]

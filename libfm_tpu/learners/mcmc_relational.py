@@ -57,6 +57,7 @@ from libfm_tpu.learners.mcmc import (
 from libfm_tpu.ops import samplers
 from libfm_tpu.ops.segment import seg_sum
 from libfm_tpu.tasks import TASK_REGRESSION
+from libfm_tpu.utils.timers import iter_clocks
 
 
 @dataclass
@@ -660,11 +661,13 @@ def learn_relational(learner, train: Dataset, test: Dataset):
 
     learner.history = []
     for it in range(learner.num_iter):
-        t0 = time.perf_counter()
+        c0 = iter_clocks()
         state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
         jax.block_until_ready(state["e"])
-        dt = time.perf_counter() - t0
-        learner._log_iteration(it, metrics, dt)
+        c1 = iter_clocks()
+        learner._log_iteration(
+            it, metrics, tuple(b - a for a, b in zip(c0, c1))
+        )
 
     from libfm_tpu.learners.mcmc import MCMCState
 

@@ -62,6 +62,7 @@ from libfm_tpu.learners.mcmc import (
 from libfm_tpu.ops import samplers
 from libfm_tpu.ops.segment import seg_sum
 from libfm_tpu.tasks import TASK_REGRESSION
+from libfm_tpu.utils.timers import iter_clocks
 
 
 from dataclasses import dataclass
@@ -187,7 +188,6 @@ class MCMCVectorLearner(MCMCLearner):
 
         layouts, unobserved_np, attr_group_np = self._build_vector_layouts(train)
         G = int(attr_group_np.max()) + 1
-        attr_group = jnp.asarray(attr_group_np)
         num_attr_per_group = jnp.asarray(
             np.bincount(attr_group_np, minlength=G).astype(np.float64), dtype=f
         )
@@ -196,13 +196,52 @@ class MCMCVectorLearner(MCMCLearner):
 
         # device copies of the static layouts (segment-sharded over the
         # data axis when a mesh is given; padding segments point at
-        # feature 0 with zero values, contributing nothing)
+        # feature 0 with zero values, contributing nothing). With a
+        # 2-D (data, model) mesh, model state additionally row-shards
+        # over `model` (TP) — see the sharding plan below.
         mesh = self.mesh
+        tp = False
+        sh_model1 = sh_model2 = sh_chunk = sh_A = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
             D = mesh.shape["data"]
+            M = mesh.shape.get("model", 1)
+            tp = M > 1
+            # TP sharding plan (north-star config #5: V too big for one
+            # chip): w[n] and V[n, k] row-sharded over `model`
+            # (embedding-table style); the per-feature sufficient
+            # statistics GG[Fd_pad, (d+1)^2] and the batched Cholesky
+            # draw chunks [FC, ...] sharded over `model` too, so the
+            # O(F d^3) draw math and the O(F d^2) stats memory split
+            # across the axis. The A=[e|Q] case table shards over
+            # `data`. XLA's SPMD partitioner lowers the block gathers
+            # (V rows by feature id) and the stats scatters to
+            # collectives over ICI.
+            if tp:
+                sh_model1 = NamedSharding(mesh, P("model"))
+                sh_model2 = NamedSharding(mesh, P("model", None))
+                sh_chunk = NamedSharding(mesh, P(None, "model", None))
+            else:
+                sh_model1 = sh_model2 = repl
+                sh_chunk = NamedSharding(mesh, P())
+            sh_A = NamedSharding(mesh, P("data", None)) if D > 1 else repl
+
+        # TP feature padding: w/V rows must divide evenly over `model`.
+        # Padded rows sit in no block and no unobserved list, start at 0
+        # and are never drawn; `valid` masks them out of the hyperprior
+        # group statistics so all draws match the unpadded run exactly.
+        M_ax = mesh.shape.get("model", 1) if mesh is not None else 1
+        n_pad = ((n + M_ax - 1) // M_ax) * M_ax if tp else n
+        valid = (
+            None
+            if n_pad == n
+            else jnp.asarray((np.arange(n_pad) < n).astype(np.float64), dtype=f)
+        )
+        attr_group = jnp.asarray(
+            np.pad(attr_group_np, (0, n_pad - len(attr_group_np)))
+        )
 
         # Segments are processed under lax.scan in chunks of C segments
         # so the per-step HBM temps (gathered slots, per-segment stats)
@@ -363,6 +402,11 @@ class MCMCVectorLearner(MCMCLearner):
         V = cfg.init_mean + cfg.init_stdev * jax.random.normal(kv, (n, k), dtype=f)
         if not use_linear:
             w = jnp.zeros((n,), f)
+        if n_pad != n:
+            # pad AFTER drawing so the RNG trajectory (and thus the whole
+            # chain) is identical to the unpadded single-device run
+            w = jnp.pad(w, (0, n_pad - n))
+            V = jnp.pad(V, ((0, n_pad - n), (0, 0)))
         w_lambda = (
             jnp.asarray(self._w_lambda_vec, dtype=f)
             if self._w_lambda_vec is not None
@@ -486,6 +530,10 @@ class MCMCVectorLearner(MCMCLearner):
             FC = 8192
             Fd_pad = ((max(Fd, 1) + FC - 1) // FC) * FC
             GG = jnp.zeros((Fd_pad, (d + 1) * (d + 1)), f)  # [[H|e]^T[H|e]]
+            if tp:
+                # per-feature stats live row-sharded over `model`; the
+                # data-sharded bucket scatters below cross-shard via SPMD
+                GG = jax.lax.with_sharding_constraint(GG, sh_model2)
 
             def _slot_hM(sc, sv, sf):
                 A_slot = A[sc]  # [C, W, 1+k] row gather
@@ -567,6 +615,13 @@ class MCMCVectorLearner(MCMCLearner):
                     )
                 else:
                     z_c = jnp.zeros((Fd_pad // FC, FC, d), f)
+                if tp:
+                    # each scan step's [FC, ...] Cholesky batch splits
+                    # over `model`: the O(F d^3) draw math is the TP win
+                    GG_c, th_c, lam_c, mu_c, z_c = (
+                        jax.lax.with_sharding_constraint(x, sh_chunk)
+                        for x in (GG_c, th_c, lam_c, mu_c, z_c)
+                    )
 
                 def draw_chunk(_, inp):
                     GGf, thf, lamf, muf, zf = inp
@@ -699,6 +754,9 @@ class MCMCVectorLearner(MCMCLearner):
 
             w = w.at[feats].set(theta_new[:, 0], unique_indices=True)
             V = V.at[feats].set(theta_new[:, 1:], unique_indices=True)
+            if tp:
+                w = jax.lax.with_sharding_constraint(w, sh_model1)
+                V = jax.lax.with_sharding_constraint(V, sh_model2)
             return A, w, V, n_rej, key
 
         # ---------------- one iteration ----------------
@@ -706,6 +764,7 @@ class MCMCVectorLearner(MCMCLearner):
             attr_group = statics["attr_group"]
             num_attr_per_group = statics["num_attr_per_group"]
             unobserved = statics["unobserved"]
+            valid = statics["valid"]
             key = state["key"]
             rej = jnp.zeros((), jnp.int32)
             A = state["A"]
@@ -742,12 +801,16 @@ class MCMCVectorLearner(MCMCLearner):
                     w_lambda, w_mu, r = draw_theta_hyperpriors(
                         k1, w, attr_group, num_attr_per_group, w_mu, w_lambda,
                         alpha_0, gamma_0, beta_0, mu_0, do_sample,
+                        valid=valid,
                     )
                     rej += r
                 if k > 0:
                     key, k1 = jax.random.split(key)
-                    sum_v = seg_sum(V, attr_group, G, sorted_ids=False)
+                    V_s = V if valid is None else V * valid[:, None]
+                    sum_v = seg_sum(V_s, attr_group, G, sorted_ids=False)
                     dev = V - v_mu[attr_group]
+                    if valid is not None:
+                        dev = dev * valid[:, None]
                     lam_gamma = (
                         beta_0 * (v_mu - mu_0) ** 2 + gamma_0
                         + seg_sum(dev * dev, attr_group, G, sorted_ids=False)
@@ -870,6 +933,10 @@ class MCMCVectorLearner(MCMCLearner):
 
         # ---------------- init & loop ----------------
         A_rows = nc_train + SLOT_BUDGET
+        if mesh is not None:
+            # the data-sharded A table must split evenly over `data`;
+            # extra rows extend the dummy tail (never read, zero writes)
+            A_rows = ((A_rows + D - 1) // D) * D
 
         @jax.jit
         def init_A(w, V, key, statics):
@@ -892,7 +959,7 @@ class MCMCVectorLearner(MCMCLearner):
             mask_tr_ch=jnp.asarray(m_tr_pad.reshape(nch, C_rows), dtype=f),
             y_test=y_test, eval_mask=eval_mask,
             attr_group=attr_group, num_attr_per_group=num_attr_per_group,
-            unobserved=unobserved,
+            unobserved=unobserved, valid=valid,
         )
         key, k_init = jax.random.split(key)
         A0 = init_A(w, V, k_init, statics)
@@ -907,9 +974,14 @@ class MCMCVectorLearner(MCMCLearner):
             key=key, rejected=jnp.zeros((), jnp.int32),
         )
         if mesh is not None:
-            # model state and case-side arrays replicated; only the slot
-            # layouts are sharded — SPMD partitions the sweeps over them
-            state = jax.device_put(state, repl)
+            # hyperparameters/scalars replicated; slot layouts sharded
+            # over `data` (put above); with a model axis, w/V row-shard
+            # over `model` and the A case table over `data`
+            sh_state = {key_: repl for key_ in state}
+            sh_state["w"] = sh_model1
+            sh_state["V"] = sh_model2
+            sh_state["A"] = sh_A
+            state = jax.device_put(state, sh_state)
 
         # big static arrays go through the jit boundary as ARGUMENTS —
         # closing over them would bake them into the HLO as constants
@@ -919,11 +991,11 @@ class MCMCVectorLearner(MCMCLearner):
         if self.checkpoint_path:
             state, start_iter = self._maybe_restore(state)
         for it in range(start_iter, self.num_iter):
-            t0 = time.perf_counter()
+            c0 = iter_clocks()
             state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
             jax.block_until_ready(state["A"])
-            dt = time.perf_counter() - t0
-            self._log_iteration(it, metrics, dt)
+            c1 = iter_clocks()
+            self._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))
             if (
                 self.checkpoint_path
                 and self.checkpoint_every
@@ -934,7 +1006,7 @@ class MCMCVectorLearner(MCMCLearner):
         from libfm_tpu.learners.mcmc import MCMCState
 
         self._final_state = MCMCState(
-            w0=state["w0"], w=state["w"], vt=state["V"].T,
+            w0=state["w0"], w=state["w"][:n], vt=state["V"][:n].T,
             alpha=state["alpha"], w_mu=state["w_mu"],
             w_lambda=state["w_lambda"], v_mu=state["v_mu"],
             v_lambda=state["v_lambda"], e=state["A"][:nc_train, 0],

@@ -36,6 +36,7 @@ from libfm_tpu.data.dataset import Dataset
 from libfm_tpu.learners import base
 from libfm_tpu.models.fm import FMConfig, FMParams, fm_batch_terms, init_fm
 from libfm_tpu.tasks import TASK_REGRESSION
+from libfm_tpu.utils.timers import iter_clocks
 
 
 def sgd_multiplier(pred, y, task: int, min_target, max_target):
@@ -213,13 +214,15 @@ class SGDLearner:
 
         history = []
         for it in range(self.num_iter):
-            t0 = time.perf_counter()
+            c0 = iter_clocks()
             self.params = self._epoch(self.params, *t_arrs, lrs, min_t, max_t)
             jax.block_until_ready(self.params.v)
-            dt = time.perf_counter() - t0
+            c1 = iter_clocks()
+            dt = c1[2] - c0[2]
             m_train = self._eval(self.params, *t_arrs, min_t, max_t)
             m_test = self._eval(self.params, *e_arrs, min_t, max_t)
             tr, te = float(m_train[0]), float(m_test[0])
+            c2 = iter_clocks()
             history.append((tr, te, dt))
             if self.verbose:
                 print(f"#Iter={it:3d}\tTrain={tr:.6g}\tTest={te:.6g}")
@@ -230,7 +233,13 @@ class SGDLearner:
                 else:
                     self.rlog.log("accuracy", te)
                 self.rlog.log("rmse_train", tr)
-                self.rlog.log("time_learn", dt)
+                # reference SGD logs user-CPU learn time and eval time
+                # (fm_learn_sgd_element.h:55-74, fm_learn.h:126,149);
+                # time_learn4 additionally records wall seconds (the
+                # meaningful quantity when the work runs on a device)
+                self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn4", dt)
+                self.rlog.log("time_pred", c2[0] - c1[0])
                 self.rlog.new_line()
         self.history = history
         return history

@@ -34,6 +34,7 @@ from libfm_tpu.data.dataset import Dataset
 from libfm_tpu.learners.sgd import SGDLearner, _device_arrays
 from libfm_tpu.models.fm import FMConfig, FMParams, fm_batch_terms
 from libfm_tpu.tasks import TASK_REGRESSION
+from libfm_tpu.utils.timers import iter_clocks
 
 
 def sgda_multiplier(pred, y, task, min_t, max_t):
@@ -198,17 +199,19 @@ class SGDALearner(SGDLearner):
 
         history = []
         for it in range(self.num_iter):
-            t0 = time.perf_counter()
+            c0 = iter_clocks()
             self.params, (grad_w, grad_v), (reg_w, reg_v) = epoch(
                 self.params, (grad_w, grad_v), (reg_w, reg_v),
                 t_arrs, v_arrs, jnp.asarray(it > 0),
             )
             jax.block_until_ready(self.params.v)
-            dt = time.perf_counter() - t0
+            c1 = iter_clocks()
+            dt = c1[2] - c0[2]
             m_val = self._eval(self.params, *v_arrs, min_t, max_t)
             m_train = self._eval(self.params, *t_arrs, min_t, max_t)
             m_test = self._eval(self.params, *e_arrs, min_t, max_t)
             tr, te, vl = float(m_train[0]), float(m_test[0]), float(m_val[0])
+            c2 = iter_clocks()
             history.append((tr, te, vl, dt))
             if self.verbose:
                 print(f"#Iter={it:3d}\tTrain={tr:.6g}\tTest={te:.6g}")
@@ -219,7 +222,9 @@ class SGDALearner(SGDLearner):
                     self.rlog.log("accuracy", te)
                 self.rlog.log("rmse_train", tr)
                 self.rlog.log("rmse_val", vl)
-                self.rlog.log("time_learn", dt)
+                self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn4", dt)
+                self.rlog.log("time_pred", c2[0] - c1[0])
                 self.rlog.new_line()
         self.reg_w, self.reg_v = reg_w, reg_v
         self.history = history

@@ -124,20 +124,36 @@ class ShardedSGDLearner(SGDLearner):
         lrs = jnp.asarray(self.lrs, dtype=jnp.float32)
         min_t, max_t = self.min_target, self.max_target
 
+        from libfm_tpu.tasks import TASK_REGRESSION
+        from libfm_tpu.utils.timers import iter_clocks
+
         history = []
         for it in range(self.num_iter):
-            t0 = time.perf_counter()
+            c0 = iter_clocks()
             for b in t_batches:
                 self.params = self._step(
                     self.params, *b, lrs, min_t, max_t
                 )
             jax.block_until_ready(self.params.v)
-            dt = time.perf_counter() - t0
+            c1 = iter_clocks()
+            dt = c1[2] - c0[2]
             tr = self._eval_batches(t_batches, min_t, max_t)
             te = self._eval_batches(e_batches, min_t, max_t)
+            c2 = iter_clocks()
             history.append((tr, te, dt))
             if self.verbose:
                 print(f"#Iter={it:3d}\tTrain={tr:.6g}\tTest={te:.6g}")
+            if self.rlog is not None:
+                if self.task == TASK_REGRESSION:
+                    self.rlog.log("rmse", te)
+                else:
+                    self.rlog.log("accuracy", te)
+                self.rlog.log("rmse_train", tr)
+                self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn4", dt)
+                self.rlog.log("time_pred", c2[0] - c1[0])
+                self.rlog.new_line()
+        self.history = history
         return history
 
     def _eval_batches(self, batches, min_t, max_t):

@@ -7,14 +7,14 @@ singleton (/root/reference/src/util/memory.h:31-62). The TPU equivalents:
 - `trace(dir)` — context manager around `jax.profiler` producing an
   XPlane/perfetto trace of everything inside (CLI: `-profile DIR`).
 - `device_memory_stats()` — live per-device allocation stats from PJRT.
-- `StepTimer` — per-phase wall timing that feeds the rlog `time_*`
-  fields the reference emits.
+
+Per-phase wall timing lives in `libfm_tpu.utils.timers` (StepTimer and
+the iter_clocks() triple that feeds the rlog time_* fields).
 """
 
 from __future__ import annotations
 
 import contextlib
-import time
 
 
 @contextlib.contextmanager
@@ -49,24 +49,3 @@ def device_memory_stats() -> list[dict]:
                 )
             )
     return out
-
-
-class StepTimer:
-    """Accumulates named wall-time phases; mirrors the reference's
-    time_learn / time_pred / time_learn2 / time_learn4 rlog fields."""
-
-    def __init__(self):
-        self.times: dict[str, float] = {}
-
-    @contextlib.contextmanager
-    def phase(self, name: str):
-        t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            self.times[name] = self.times.get(name, 0.0) + (
-                time.perf_counter() - t0
-            )
-
-    def reset(self):
-        self.times.clear()

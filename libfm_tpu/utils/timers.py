@@ -33,6 +33,21 @@ class StepTimer:
         return self.total / max(self.count, 1)
 
 
+def iter_clocks() -> tuple[float, float, float]:
+    """Snapshot of (user-CPU s, process-CPU s, wall s) — the reference's
+    getusertime / clock() / getusertime4 triple
+    (/root/reference/src/util/util.h:71-90), which feed the rlog
+    time_learn / time_learn2 / time_learn4 fields
+    (fm_learn_mcmc_simultaneous.h:202-208). Subtract two snapshots."""
+    import resource
+
+    return (
+        resource.getrusage(resource.RUSAGE_SELF).ru_utime,
+        time.process_time(),
+        time.perf_counter(),
+    )
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str | None):
     """Wrap a region in a jax.profiler trace when logdir is given."""

@@ -114,6 +114,85 @@ def test_cli_targets_only_file(tmp_path):
     assert rc == 0
 
 
+def test_cli_cache_size_streams_sgd(files, tmp_path):
+    """-cache_size below the binary size must route SGD through the
+    out-of-core streaming path (round-1 dead flag)."""
+    from libfm_tpu.tools import convert
+
+    d, trp, tep = files
+    stem = str(tmp_path / "c")
+    convert.main(["--ifile", trp, "--ofilex", stem + ".x", "--ofiley", stem + ".y"])
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "-task", "r", "-train", stem, "-test", tep, "-method", "sgd",
+            "-dim", "1,1,4", "-learn_rate", "0.01", "-iter", "2",
+            "-cache_size", "1000", "-seed", "1",
+        ])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "Training out-of-core" in out
+    assert "Final\tTest=" in out
+
+
+def test_cli_mesh_flag(files):
+    """-mesh must actually shard (round-1 dead flag): sgd routes to the
+    sharded learner, mcmc passes the mesh to the vector engine."""
+    d, trp, tep = files
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,4", "-learn_rate", "0.01", "-iter", "2",
+        "-batch_size", "128", "-mesh", "4,2", "-seed", "1",
+    ])
+    assert rc == 0
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "mcmc",
+        "-dim", "1,1,2", "-iter", "2", "-mesh", "2,4", "-seed", "1",
+    ])
+    assert rc == 0
+    # demanding more devices than exist is a clean error
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,2", "-learn_rate", "0.01", "-iter", "1",
+        "-mesh", "64,2",
+    ])
+    assert rc == 1
+
+
+def test_rlog_time_fields_populated(tmp_path, files):
+    """time_learn/time_learn2/time_learn4 (MCMC) and
+    time_learn/time_learn4/time_pred (SGD) must carry real values, not
+    the declared NaN defaults (round-1 VERDICT Weak #4)."""
+    d, trp, tep = files
+
+    def rows(rlog):
+        lines = open(rlog).read().splitlines()
+        hdr = lines[0].split("\t")
+        return [dict(zip(hdr, map(float, l.split("\t")))) for l in lines[1:]]
+
+    rl1 = str(tmp_path / "m.tsv")
+    cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "mcmc",
+        "-dim", "1,1,2", "-iter", "2", "-rlog", rl1, "-seed", "1",
+    ])
+    for r in rows(rl1):
+        for fname in ("time_learn", "time_learn2", "time_learn4"):
+            assert np.isfinite(r[fname]) and r[fname] >= 0.0, (fname, r)
+        assert np.isnan(r["time_pred"])  # reference leaves it NaN for MCMC
+
+    rl2 = str(tmp_path / "s.tsv")
+    cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,2", "-learn_rate", "0.01", "-iter", "2", "-rlog", rl2,
+    ])
+    for r in rows(rl2):
+        for fname in ("time_learn", "time_learn4", "time_pred"):
+            assert np.isfinite(r[fname]) and r[fname] >= 0.0, (fname, r)
+
+
 def test_rlog_header_matches_reference_schema(tmp_path, files):
     """SGD rlog header must be exactly the reference's column order."""
     d, trp, tep = files

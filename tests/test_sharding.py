@@ -80,3 +80,42 @@ def test_vector_mcmc_sharded_matches_single(data):
     got = [h["test_this"] for h in b.history]
     want = [h["test_this"] for h in a.history]
     assert np.allclose(got, want, atol=2e-3), (got, want)
+
+
+def test_vector_mcmc_tp_matches_single(data):
+    """Model-parallel (TP) vector MCMC on a (data=2, model=4) mesh: w/V
+    row-sharded over `model`, A over `data` — results must match the
+    single-device engine (same math, different partitioning)."""
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    train, test = data
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    a = MCMCVectorLearner(cfg, num_iter=5, seed=3, verbose=False)
+    a.learn(train, test)
+    mesh = make_mesh(data=2, model=4)
+    b = MCMCVectorLearner(cfg, num_iter=5, seed=3, verbose=False, mesh=mesh)
+    b.learn(train, test)
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+
+    # V is genuinely row-sharded over the 4-way model axis
+    V = b._vector_state["V"]
+    n = cfg.num_features
+    shard_rows = sorted(s.data.shape[0] for s in V.addressable_shards)
+    per = -(-n // 4)  # ceil for uneven n
+    assert all(r in (per, n - 3 * per) for r in shard_rows), shard_rows
+    assert sum(shard_rows) // 2 == n  # each row appears once per data replica
+
+    # ALS variant (deterministic) under TP matches too
+    from libfm_tpu.learners.mcmc_vector import ALSVectorLearner
+
+    c = ALSVectorLearner(cfg, num_iter=3, seed=3, verbose=False)
+    c.set_regularization([0.0, 1.0, 2.0], 1)
+    c.learn(train, test)
+    d = ALSVectorLearner(cfg, num_iter=3, seed=3, verbose=False, mesh=mesh)
+    d.set_regularization([0.0, 1.0, 2.0], 1)
+    d.learn(train, test)
+    got = [h["test_this"] for h in d.history]
+    want = [h["test_this"] for h in c.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)

@@ -150,3 +150,32 @@ def test_reference_convert_interop(text_file, tmp_path):
     convert.main(["--ifile", text_file, "--ofilex", ox, "--ofiley", oy])
     assert open(rx, "rb").read() == open(ox, "rb").read()
     assert open(ry, "rb").read() == open(oy, "rb").read()
+
+
+def test_transpose_out_of_core_matches_in_memory(tmp_path):
+    """The bounded-cache multi-pass transpose (transpose.cpp:125-161
+    analog) must produce a byte-identical file to the in-memory path."""
+    rng = np.random.default_rng(5)
+    n_rows, n_cols = 400, 157
+    lens = rng.integers(0, 20, n_rows)
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    nnz = int(lens.sum())
+    cols = rng.integers(0, n_cols, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    x = str(tmp_path / "big.x")
+    binio.write_sparse_binary(x, indptr, cols, vals, n_cols)
+
+    mem = str(tmp_path / "mem.xt")
+    transpose.main(["--ifile", x, "--ofile", mem])  # default 200 MiB cache
+
+    ooc = str(tmp_path / "ooc.xt")
+    # ~500-entry cache, ~40-entry stream windows: many column blocks AND
+    # many stream windows per block
+    transpose.transpose_streaming(x, ooc, cache_entries=500, entry_budget=40)
+    assert open(mem, "rb").read() == open(ooc, "rb").read()
+
+    # the CLI flag drives the same path for sub-cache-size files
+    ooc2 = str(tmp_path / "ooc2.xt")
+    transpose.main(["--ifile", x, "--ofile", ooc2, "--cache_size", "0.004"])
+    assert open(mem, "rb").read() == open(ooc2, "rb").read()
