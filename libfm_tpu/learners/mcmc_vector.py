@@ -111,16 +111,27 @@ class DevLayout:
     dense_feats: jax.Array
     F: int
     F_dense: int
+    # case-major dense update layout ([nch, CU] chunks of the per-case
+    # block-local feature id / value; None for low-coverage blocks).
+    # A conflict-free block touches each case AT MOST ONCE, so its e/Q
+    # update can be applied as dense chunk reads + dynamic_update_slice
+    # writes instead of a row scatter — measured 3-5x cheaper on TPU
+    # (the A-scatter was the dominant per-block cost, BENCHNOTES.md).
+    up_col: jax.Array | None = None
+    up_val: jax.Array | None = None
 
     def tree_flatten(self):
         return (
             self.features, self.groups, self.buckets, self.dual_buckets,
-            self.dense_feats,
+            self.dense_feats, self.up_col, self.up_val,
         ), (self.F, self.F_dense)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, F=aux[0], F_dense=aux[1])
+        return cls(
+            *children[:5], up_col=children[5], up_val=children[6],
+            F=aux[0], F_dense=aux[1],
+        )
 
 
 class MCMCVectorLearner(MCMCLearner):
@@ -134,7 +145,7 @@ class MCMCVectorLearner(MCMCLearner):
     device."""
 
     def __init__(self, *args, widths=(8, 64, 512), mesh=None,
-                 dual_draws=True, **kwargs):
+                 dual_draws=True, dense_update=True, **kwargs):
         super().__init__(*args, **kwargs)
         self.widths = widths
         self.mesh = mesh
@@ -142,6 +153,10 @@ class MCMCVectorLearner(MCMCLearner):
         # Woodbury system instead of the dense d x d one (identical
         # distribution; large win when most features have few entries)
         self.dual_draws = dual_draws
+        # dense_update: apply each block's e/Q delta with case-major
+        # dense chunk writes instead of a row scatter (identical math;
+        # the scatter was the dominant per-block cost — BENCHNOTES.md)
+        self.dense_update = dense_update
 
     # ----------------------------------------------------------- layout
     def _build_vector_layouts(self, train: Dataset):
@@ -305,9 +320,37 @@ class MCMCVectorLearner(MCMCLearner):
 
         from libfm_tpu.data.vector_layout import WidthBucket as _WB
 
+        # case-major dense-update chunking (see DevLayout.up_col): chunk
+        # size bounds the [CU, 1+k] dense slice temps
+        CU = 1 << 17
+        nc_up_pad = ((max(train.num_rows, 1) + CU - 1) // CU) * CU
+
+        def _dense_update_arrays(lay, F):
+            """[nch, CU] per-case (block-local feature id | F, value | 0)
+            arrays for the scatter-free update pass; None when the block
+            covers too few cases for a dense pass to pay off."""
+            if not self.dense_update:
+                return None, None
+            col = np.full(nc_up_pad, F, np.int32)
+            val = np.zeros(nc_up_pad, np.float32)
+            n_entries = 0
+            for b in lay.buckets:
+                sc = b.slot_case.reshape(-1)
+                m = sc < train.num_rows  # padding slots use the sentinel
+                n_entries += int(m.sum())
+                col[sc[m]] = np.repeat(b.seg_feat, b.width)[m]
+                val[sc[m]] = b.slot_val.reshape(-1)[m]
+            if n_entries < train.num_rows // 4:
+                return None, None  # low coverage: slot update is cheaper
+            return (
+                jnp.asarray(col.reshape(-1, CU)),
+                jnp.asarray(val.reshape(-1, CU), dtype=f),
+            )
+
         dev_layouts = []
         for lay in layouts:
             F = lay.num_features
+            up_col, up_val = _dense_update_arrays(lay, F)
             # split into dual-eligible (whole single-segment features
             # drawn through the c x c Woodbury system) and dense buckets
             dual_host, dense_host = [], []
@@ -353,6 +396,8 @@ class MCMCVectorLearner(MCMCLearner):
                     dense_feats=jnp.asarray(dense_feats),
                     F=F,
                     F_dense=len(dense_feats),
+                    up_col=up_col,
+                    up_val=up_val,
                 )
             )
 
@@ -725,7 +770,50 @@ class MCMCVectorLearner(MCMCLearner):
             # recomputed per chunk with the PRE-draw V (V is updated after
             # this loop), which the delta formulas require. Covers both
             # dense and dual segments (their union is every entry).
-            for b in lay.buckets + lay.dual_buckets:
+            #
+            # Fast path: a conflict-free block touches each case at most
+            # once, so the update applies CASE-MAJOR as dense chunk
+            # reads + dynamic_update_slice writes (no scatter; the
+            # per-feature delta/v_old tables are small gathers). The
+            # sentinel id F hits the appended zero rows, so uncovered
+            # and padding cases add exactly 0.
+            if lay.up_col is not None:
+                delta_pad = jnp.concatenate([delta, jnp.zeros((1, d), f)], 0)
+                v_old_pad = jnp.concatenate(
+                    [theta_old[:, 1:], jnp.zeros((1, k), f)], 0
+                )
+                nch_u = lay.up_col.shape[0]
+
+                def upd_dense(A, inp):
+                    ci, cb, vb = inp
+                    A_chunk = jax.lax.dynamic_slice(
+                        A, (ci * CU, 0), (CU, 1 + k)
+                    )
+                    dlt = delta_pad[cb]  # [CU, d]
+                    v_o = v_old_pad[cb]  # [CU, k]
+                    qp = A_chunk[:, 1:] - vb[:, None] * v_o
+                    dpred = vb * (
+                        dlt[:, 0] + jnp.einsum("ck,ck->c", qp, dlt[:, 1:])
+                    )
+                    rows = jnp.concatenate(
+                        [dpred[:, None], vb[:, None] * dlt[:, 1:]], axis=1
+                    )
+                    return (
+                        jax.lax.dynamic_update_slice(
+                            A, A_chunk + rows, (ci * CU, 0)
+                        ),
+                        None,
+                    )
+
+                A, _ = jax.lax.scan(
+                    upd_dense, A,
+                    (jnp.arange(nch_u, dtype=jnp.int32),
+                     lay.up_col, lay.up_val),
+                )
+                upd_buckets = []
+            else:
+                upd_buckets = lay.buckets + lay.dual_buckets
+            for b in upd_buckets:
                 def upd_chunk(A, inp):
                     sc, sv, sf = inp
                     _, qp, _ = _slot_hM_on(A, sc, sv, sf)
