@@ -986,6 +986,10 @@ class MCMCLearner:
                 test_this=float(metrics["this"][0]),
                 test_all=float(metrics["all"][0]),
                 test_all_but5=float(metrics["but5"][0]),
+                # secondary metric: MAE (regression) / log10-loss (classif.)
+                test_this_m2=float(metrics["this"][1]),
+                test_all_m2=float(metrics["all"][1]),
+                test_all_but5_m2=float(metrics["but5"][1]),
                 alpha=float(metrics["alpha"]),
                 rejected=int(metrics["rejected"]),
                 time=dt,

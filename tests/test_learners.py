@@ -144,3 +144,31 @@ def test_regularization_arity(ml_small):
     assert l._w_lambda_vec.tolist() == [1.0, 2.0]
     with pytest.raises(ValueError):
         l.set_regularization([0.1, 0.2], 1)
+
+
+def test_mcmc_predict_new_fresh_data(ml_small, ctr_small):
+    """predict_new scores data not passed to learn() (the reference MCMC
+    cannot: predict_case throws, fm_learn_mcmc.h:141-143)."""
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    l = MCMCLearner(cfg, num_iter=20, seed=1, verbose=False)
+    l.learn(train, train)  # note: test set NOT given to learn
+    preds = l.predict_new(test)
+    assert preds.shape == (test.num_rows,)
+    assert (preds >= train.min_target).all()
+    assert (preds <= train.max_target).all()
+    rmse = float(np.sqrt(np.mean((preds - test.target) ** 2)))
+    assert rmse < 1.1, rmse  # a real model, not noise
+
+    # classification: probit-linked probabilities in [0, 1]
+    ctrain, ctest, _ = ctr_small
+    cfg2 = FMConfig(num_features=ctrain.num_features, num_factors=4)
+    l2 = MCMCLearner(
+        cfg2, task=TASK_CLASSIFICATION, num_iter=10, seed=1, verbose=False
+    )
+    l2.learn(ctrain, ctrain)
+    p = l2.predict_new(ctest)
+    assert ((p >= 0.0) & (p <= 1.0)).all()
+    acc = float((((p >= 0.5) & (ctest.target > 0)) |
+                 ((p < 0.5) & (ctest.target < 0))).mean())
+    assert acc > 0.6, acc
