@@ -113,7 +113,9 @@ class ShardedSGDLearner(SGDLearner):
         if self.params is None:
             self.init_params()
         param_sh, batch_sh, repl = fm_shardings(self.mesh)
-        self.params = jax.device_put(self.params, param_sh)
+        self.params = jax.tree.map(
+            lambda x, s: _put_global(np.asarray(x), s), self.params, param_sh
+        )
         self.min_target = train.min_target
         self.max_target = train.max_target
 
@@ -156,6 +158,15 @@ class ShardedSGDLearner(SGDLearner):
         self.history = history
         return history
 
+    def evaluate(self, ds) -> float:
+        """Sharded eval (works multi-process, unlike the parent's
+        single-device jit)."""
+        _, batch_sh, _ = fm_shardings(self.mesh)
+        b = batch_dataset(ds, self.batch_size)
+        return self._eval_batches(
+            _device_put_batches(b, batch_sh), self.min_target, self.max_target
+        )
+
     def _eval_batches(self, batches, min_t, max_t):
         sq = ab = cnt = 0.0
         for b in batches:
@@ -167,15 +178,27 @@ class ShardedSGDLearner(SGDLearner):
         return sq / cnt
 
 
+def _put_global(np_arr, sharding):
+    """Place one batch array under `sharding`, working in BOTH single-
+    and multi-process runs: device_put cannot target non-addressable
+    shards, so multi-process uses make_array_from_callback (each process
+    materialises only the index ranges its own devices hold)."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(np_arr), sharding)
+    return jax.make_array_from_callback(
+        np_arr.shape, sharding, lambda idx: np_arr[idx]
+    )
+
+
 def _device_put_batches(b: BatchedCSR, batch_sh):
     out = []
     for i in range(b.num_batches):
         out.append(
             (
-                jax.device_put(jnp.asarray(b.ids[i]), batch_sh[0]),
-                jax.device_put(jnp.asarray(b.vals[i]), batch_sh[1]),
-                jax.device_put(jnp.asarray(b.y[i]), batch_sh[2]),
-                jax.device_put(jnp.asarray(b.row_mask[i]), batch_sh[3]),
+                _put_global(b.ids[i], batch_sh[0]),
+                _put_global(b.vals[i], batch_sh[1]),
+                _put_global(b.y[i], batch_sh[2]),
+                _put_global(b.row_mask[i], batch_sh[3]),
             )
         )
     return out

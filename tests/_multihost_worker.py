@@ -93,3 +93,25 @@ for b in e_batches:
     cnt += float(c)
 rmse = float(np.sqrt(sq / max(cnt, 1.0)))
 print(f"FINAL_RMSE={rmse:.6f}", flush=True)
+
+# ---- end-to-end CLI drive over the same 2-process mesh ----
+trp = f"/tmp/mh{port}_{rank}.train"
+tep = f"/tmp/mh{port}_{rank}.test"
+train.to_libfm_text(trp)
+test.to_libfm_text(tep)
+
+import contextlib
+import io
+
+from libfm_tpu import cli
+
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,4", "-learn_rate", "0.01", "-iter", "2",
+        "-batch_size", "512", "-mesh", "8,1", "-seed", "1",
+    ])
+assert rc == 0, buf.getvalue()
+final = [l for l in buf.getvalue().splitlines() if l.startswith("Final")][-1]
+print(f"CLI_{final}", flush=True)

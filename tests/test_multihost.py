@@ -56,6 +56,14 @@ def test_two_process_sharded_sgd_matches_single():
     assert len(rmses) == 2
     assert abs(rmses[0] - rmses[1]) < 1e-6  # both processes agree
 
+    # the CLI -mesh path also ran under 2 processes; both ranks printed
+    # identical Final lines
+    cli_finals = [
+        line for rc, out, err in outs for line in out.splitlines()
+        if line.startswith("CLI_Final")
+    ]
+    assert len(cli_finals) == 2 and cli_finals[0] == cli_finals[1], cli_finals
+
     # single-process baseline: identical data/config/seed on 1 device
     from libfm_tpu.data.synth import movielens_like
     from libfm_tpu.learners.sgd import SGDLearner
