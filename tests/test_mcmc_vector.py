@@ -201,3 +201,26 @@ def test_dual_sampler_distribution():
         samples.mean(0), mu_dense
     )
     assert np.allclose(np.cov(samples.T), cov_dense, atol=0.12)
+
+
+def test_dense_update_matches_slot_update(ml_small):
+    """The case-major dense update pass is the same math as the slot
+    scatter path (different summation order only): identical ALS fixed
+    points and near-identical MCMC trajectories at same seed."""
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=4, regw=2, regv=2)
+    a = ALSVectorLearner(cfg, num_iter=8, seed=1, verbose=False, dense_update=True)
+    a.learn(train, test)
+    b = ALSVectorLearner(cfg, num_iter=8, seed=1, verbose=False, dense_update=False)
+    b.learn(train, test)
+    got = [h["test_this"] for h in a.history]
+    want = [h["test_this"] for h in b.history]
+    assert np.allclose(got, want, atol=1e-3), (got, want)
+
+    c = MCMCVectorLearner(cfg, num_iter=8, seed=1, verbose=False, dense_update=True)
+    c.learn(train, test)
+    d = MCMCVectorLearner(cfg, num_iter=8, seed=1, verbose=False, dense_update=False)
+    d.learn(train, test)
+    got = [h["test_all"] for h in c.history]
+    want = [h["test_all"] for h in d.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
