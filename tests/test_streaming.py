@@ -59,3 +59,29 @@ def test_streaming_sgd_matches_inmemory(tmp_path):
 
     # identical batch order and math -> same trajectory
     assert abs(h_mem[-1][1] - h_st[-1][1]) < 1e-4, (h_mem[-1], h_st[-1])
+
+
+def test_streaming_max_row_nnz_and_truncation(tmp_path):
+    train, test = movielens_like(num_users=30, num_items=25, num_ratings=800, seed=5)
+    xp, yp = _write_pair(train, tmp_path, "mx")
+    stream = streaming.StreamingDataset(xp, yp, entry_budget=500)
+    true_max = int(np.diff(train.indptr).max())
+    assert stream.max_row_nnz() == true_max
+
+    # default (lossless) streaming pass: nothing truncated
+    cfg = FMConfig(num_features=train.num_features, num_factors=2)
+    l = SGDLearner(cfg, num_iter=1, learn_rate=0.01, batch_size=64,
+                   seed=1, verbose=False)
+    l.learn_stream(stream, test)
+    assert stream.truncated_rows == 0
+
+    # forced truncation is counted and warned about
+    import warnings
+
+    l2 = SGDLearner(cfg, num_iter=1, learn_rate=0.01, batch_size=64,
+                    seed=1, verbose=False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        l2.learn_stream(stream, test, max_nnz=1)
+    assert stream.truncated_rows > 0
+    assert any("truncated" in str(w.message) for w in rec)
