@@ -96,19 +96,66 @@ def sgd_batch_update(
 
 
 def make_epoch_fn(cfg: FMConfig, task: int):
-    """Build a jitted epoch function over a BatchedCSR stack."""
+    """Build a jitted epoch function over a BatchedCSR stack.
+
+    The scan body works on a PACKED parameter table P = [w | V] ([n,
+    1+k]) so each mini-batch costs ONE row gather + ONE row scatter
+    instead of two of each — SGD on one-hot data is row-op-latency
+    bound (BENCHNOTES.md "SGD throughput"), so halving row ops ~halves
+    the epoch. Same math as sgd_batch_update (exact fm_sgd.h formulas);
+    pack/unpack happen once per epoch inside the jit.
+    """
+    k = cfg.num_factors
+
+    def packed_step(w0, P, ids, vals, y, row_mask, lrs, min_t, max_t):
+        rows = P[ids]  # [B, L, 1+k] — the single gather
+        w_g = rows[..., 0]
+        v_g = rows[..., 1:]
+        vx = v_g * vals[..., None]
+        vsum = vx.sum(axis=1)
+        vsq = (vx * vx).sum(axis=(1, 2))
+        pred = 0.5 * ((vsum * vsum).sum(axis=1) - vsq)
+        if cfg.use_linear:
+            pred = pred + (w_g * vals).sum(axis=1)
+        if cfg.use_bias:
+            pred = pred + w0
+        mult = sgd_multiplier(pred, y, task, min_t, max_t)
+        mult = jnp.where(row_mask, mult, 0.0)
+        emask = (vals != 0.0).astype(vals.dtype)
+
+        if cfg.use_bias:
+            n_real = row_mask.sum().astype(vals.dtype)
+            w0 = w0 - lrs[0] * (mult.sum() + n_real * cfg.reg0 * w0)
+        if cfg.use_linear:
+            gw = mult[:, None] * vals + cfg.regw * w_g * emask
+        else:
+            gw = jnp.zeros_like(vals)
+        gv = mult[:, None, None] * (
+            vsum[:, None, :] * vals[..., None] - v_g * (vals * vals)[..., None]
+        ) + cfg.regv * v_g * emask[..., None]
+        upd = jnp.concatenate(
+            [(-lrs[1] * gw)[..., None], -lrs[2] * gv], axis=-1
+        )  # [B, L, 1+k]
+        P = P.at[ids.reshape(-1)].add(
+            upd.reshape(-1, 1 + k)
+        )  # the single scatter
+        return w0, P
 
     def epoch(params, ids, vals, y, row_mask, lrs, min_t, max_t):
-        def body(p, batch):
-            b_ids, b_vals, b_y, b_mask = batch
-            p = sgd_batch_update(
-                p, b_ids, b_vals, b_y, b_mask, cfg,
-                lrs[0], lrs[1], lrs[2], task, min_t, max_t,
-            )
-            return p, None
+        P = jnp.concatenate([params.w[:, None], params.v], axis=1)
 
-        params, _ = jax.lax.scan(body, params, (ids, vals, y, row_mask))
-        return params
+        def body(carry, batch):
+            w0, P = carry
+            b_ids, b_vals, b_y, b_mask = batch
+            w0, P = packed_step(
+                w0, P, b_ids, b_vals, b_y, b_mask, lrs, min_t, max_t
+            )
+            return (w0, P), None
+
+        (w0, P), _ = jax.lax.scan(
+            body, (params.w0, P), (ids, vals, y, row_mask)
+        )
+        return FMParams(w0=w0, w=P[:, 0], v=P[:, 1:])
 
     return jax.jit(epoch)
 
