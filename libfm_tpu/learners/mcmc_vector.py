@@ -145,7 +145,8 @@ class MCMCVectorLearner(MCMCLearner):
     device."""
 
     def __init__(self, *args, widths=(32, 256), mesh=None,
-                 dual_draws=True, dense_update=True, **kwargs):
+                 dual_draws=True, dense_update=True, refresh_every=1,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         # width buckets: measured on v5e, narrow (W=8) segment gathers
         # run ~80 ns/row vs ~sub-ns/row for W>=32, so padding small
@@ -161,6 +162,13 @@ class MCMCVectorLearner(MCMCLearner):
         # dense chunk writes instead of a row scatter (identical math;
         # the scatter was the dominant per-block cost — BENCHNOTES.md)
         self.dense_update = dense_update
+        # refresh_every=R (regression only): re-predict the train set
+        # every R-th iteration instead of every iteration — the sweeps
+        # maintain the [e|Q] caches exactly; the refresh only clears
+        # float drift (the reference's own comment,
+        # fm_learn_mcmc_simultaneous.h:123-124). Classification always
+        # refreshes (the probit latent resample lives in that pass).
+        self.refresh_every = refresh_every
 
     # ----------------------------------------------------------- layout
     def _build_vector_layouts(self, train: Dataset):
@@ -963,8 +971,8 @@ class MCMCVectorLearner(MCMCLearner):
                 key=key, rejected=rej,
             )
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def iteration(state, it, statics):
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+        def iteration(state, it, statics, refresh=True):
             y_test = statics["y_test"]
             eval_mask = statics["eval_mask"]
             state = draw_all(state, statics)
@@ -976,9 +984,26 @@ class MCMCVectorLearner(MCMCLearner):
 
             key = state["key"]
             key, kr = jax.random.split(key)
-            A, train_metric = refresh_A_and_train_metric(
-                state["w0"], P, kr, statics, state["A"]
-            )
+            if refresh:
+                A, train_metric = refresh_A_and_train_metric(
+                    state["w0"], P, kr, statics, state["A"]
+                )
+            else:
+                # regression fast path (refresh_every > 1): the sweeps
+                # maintain A = [e | Q] incrementally and exactly (up to
+                # float drift, killed by the periodic refresh); the
+                # train metric comes straight from e = pred - y.
+                # The reference itself notes the per-iteration re-predict
+                # is "not necessary but increases numerical stability"
+                # (fm_learn_mcmc_simultaneous.h:123-124).
+                A = state["A"]
+                y_flat = statics["y_tr_ch"].reshape(-1)
+                m_flat = statics["mask_tr_ch"].reshape(-1)
+                e = jax.lax.dynamic_slice_in_dim(A[:, 0], 0, y_flat.shape[0])
+                pred_tr = e + y_flat
+                err = (jnp.clip(pred_tr, min_t, max_t) - y_flat) * m_flat
+                cnt = jnp.maximum(m_flat.sum(), 1.0)
+                train_metric = jnp.sqrt((err * err).sum() / cnt)
             if task == TASK_REGRESSION:
                 pred_this = pred_test
                 p_clamped = jnp.clip(pred_test, min_t, max_t)
@@ -1082,9 +1107,18 @@ class MCMCVectorLearner(MCMCLearner):
         start_iter = 0
         if self.checkpoint_path:
             state, start_iter = self._maybe_restore(state)
+        R = max(1, int(self.refresh_every))
         for it in range(start_iter, self.num_iter):
+            refresh = (
+                task != TASK_REGRESSION
+                or R == 1
+                or it % R == R - 1
+                or it == self.num_iter - 1
+            )
             c0 = iter_clocks()
-            state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
+            state, metrics = iteration(
+                state, jnp.asarray(it, dtype=f), statics, refresh
+            )
             jax.block_until_ready(state["A"])
             c1 = iter_clocks()
             self._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))

@@ -224,3 +224,22 @@ def test_dense_update_matches_slot_update(ml_small):
     got = [h["test_all"] for h in c.history]
     want = [h["test_all"] for h in d.history]
     assert np.allclose(got, want, atol=2e-3), (got, want)
+
+
+def test_refresh_cadence_matches_every_iteration(ml_small):
+    """refresh_every>1 skips the numerical re-predict (the caches are
+    maintained exactly by the sweeps); trajectories must match the
+    every-iteration refresh to float-drift tolerance."""
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    a = MCMCVectorLearner(cfg, num_iter=9, seed=2, verbose=False)
+    a.learn(train, test)
+    b = MCMCVectorLearner(cfg, num_iter=9, seed=2, verbose=False,
+                          refresh_every=3)
+    b.learn(train, test)
+    got = [h["test_all"] for h in b.history]
+    want = [h["test_all"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+    got_tr = [h["train"] for h in b.history]
+    want_tr = [h["train"] for h in a.history]
+    assert np.allclose(got_tr, want_tr, atol=5e-3), (got_tr, want_tr)
