@@ -951,6 +951,8 @@ class MCMCLearner:
                 w_mu=state.w_mu, w_lambda=state.w_lambda,
                 v_mu=state.v_mu, v_lambda=state.v_lambda,
             )
+            if task != TASK_REGRESSION:
+                metrics["auc"] = _masked_auc(pred_sum_all, y_test, eval_mask)
             return new_state, metrics
 
         return iteration
@@ -993,6 +995,11 @@ class MCMCLearner:
                 alpha=float(metrics["alpha"]),
                 rejected=int(metrics["rejected"]),
                 time=dt,
+                **(
+                    {"auc_all": float(metrics["auc"])}
+                    if "auc" in metrics
+                    else {}
+                ),
             )
         )
         if self.rlog is not None:
@@ -1025,6 +1032,8 @@ class MCMCLearner:
                 self.rlog.log("ll_mcmc_this", float(m["this"][1]))
                 self.rlog.log("ll_mcmc_all", float(m["all"][1]))
                 self.rlog.log("ll_mcmc_all_but5", float(m["but5"][1]))
+                if "auc" in m:
+                    self.rlog.log("auc_mcmc_all", float(m["auc"]))
             self.rlog.new_line()
 
     def register_log_fields(self):
@@ -1047,6 +1056,7 @@ class MCMCLearner:
             for fname in (
                 "acc_mcmc_this", "acc_mcmc_all", "acc_mcmc_all_but5",
                 "ll_mcmc_this", "ll_mcmc_all", "ll_mcmc_all_but5",
+                "auc_mcmc_all",  # beyond the reference (BASELINE AUC)
             ):
                 self.rlog.add_field(fname, nan)
         # per-group hyperparameter columns (fm_learn_mcmc.h:444-449, 521-526)
@@ -1146,6 +1156,27 @@ def _masked_rmse_mae(pred_sum, y, mask, min_t, max_t, normalizer):
     err = (p - y) * mask
     n = jnp.maximum(mask.sum(), 1.0)
     return jnp.sqrt((err * err).sum() / n), jnp.abs(err).sum() / n
+
+
+def _masked_auc(p, y, mask):
+    """ROC AUC via the Mann-Whitney rank-sum over the masked prefix.
+
+    Capability beyond the reference (which logs only accuracy and
+    log10-likelihood); BASELINE.json's quality metric names Criteo AUC.
+    Ties get arbitrary (not midpoint) ranks — bias is O(ties/n), nil for
+    continuous posterior-mean scores.
+    """
+    n = p.shape[0]
+    order = jnp.argsort(jnp.where(mask > 0, p, jnp.inf))
+    ranks = jnp.zeros(n, p.dtype).at[order].set(
+        jnp.arange(1, n + 1, dtype=p.dtype)
+    )
+    pos = (y > 0.0) & (mask > 0)
+    neg = (y <= 0.0) & (mask > 0)
+    npos = pos.sum().astype(p.dtype)
+    nneg = neg.sum().astype(p.dtype)
+    rsum = jnp.where(pos, ranks, 0.0).sum()
+    return (rsum - npos * (npos + 1.0) / 2.0) / jnp.maximum(npos * nneg, 1.0)
 
 
 def _masked_acc_ll(pred_sum, y, mask, normalizer):

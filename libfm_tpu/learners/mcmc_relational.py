@@ -657,6 +657,10 @@ def learn_relational(learner, train: Dataset, test: Dataset):
             w_mu=state["w_mu"], w_lambda=state["w_lambda"],
             v_mu=state["v_mu"], v_lambda=state["v_lambda"],
         )
+        if task != TASK_REGRESSION:
+            from libfm_tpu.learners.mcmc import _masked_auc
+
+            metrics["auc"] = _masked_auc(pred_sum_all, y_test, eval_mask)
         return new_state, metrics
 
     learner.history = []

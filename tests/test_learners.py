@@ -172,3 +172,33 @@ def test_mcmc_predict_new_fresh_data(ml_small, ctr_small):
     acc = float((((p >= 0.5) & (ctest.target > 0)) |
                  ((p < 0.5) & (ctest.target < 0))).mean())
     assert acc > 0.6, acc
+
+
+def test_masked_auc_matches_bruteforce():
+    import jax.numpy as jnp
+
+    from libfm_tpu.learners.mcmc import _masked_auc
+
+    rng = np.random.default_rng(7)
+    n = 300
+    p = rng.standard_normal(n).astype(np.float32)
+    y = np.where(rng.random(n) < 0.4, 1.0, -1.0).astype(np.float32)
+    mask = (np.arange(n) < 250).astype(np.float32)  # eval prefix
+
+    # brute force over masked pairs
+    pi = [i for i in range(250) if y[i] > 0]
+    ni = [i for i in range(250) if y[i] <= 0]
+    wins = sum(1 for i in pi for j in ni if p[i] > p[j])
+    want = wins / (len(pi) * len(ni))
+    got = float(_masked_auc(jnp.asarray(p), jnp.asarray(y), jnp.asarray(mask)))
+    assert abs(got - want) < 1e-5, (got, want)
+
+
+def test_mcmc_classification_reports_auc(ctr_small):
+    train, test, groups = ctr_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    l = MCMCLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=8, seed=1, verbose=False
+    )
+    l.learn(train, test)
+    assert 0.5 < l.history[-1]["auc_all"] <= 1.0
