@@ -97,7 +97,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="vector MCMC/ALS regression: re-predict the train cache "
         "every R-th iteration (1 = reference behavior; larger R skips "
-        "the numerically-redundant refresh for ~10-20% per-iteration "
+        "the numerically-redundant refresh for ~10-20%% per-iteration "
         "savings)",
     )
     a(
