@@ -354,9 +354,15 @@ class MCMCVectorLearner(MCMCLearner):
                 val[sc[m]] = b.slot_val.reshape(-1)[m]
             if n_entries < train.num_rows // 4:
                 return None, None  # low coverage: slot update is cheaper
+            # one-hot compression: when every entry value is exactly 1
+            # (recommender/CTR one-hot data), the value array is implied
+            # by col != F — halves the layout's HBM footprint, which
+            # matters at k=128 where the A table already fills most of
+            # the chip (config #5)
+            onehot = bool((val[col != F] == 1.0).all())
             return (
                 jnp.asarray(col.reshape(-1, CU)),
-                jnp.asarray(val.reshape(-1, CU), dtype=f),
+                None if onehot else jnp.asarray(val.reshape(-1, CU), dtype=f),
             )
 
         dev_layouts = []
@@ -795,9 +801,14 @@ class MCMCVectorLearner(MCMCLearner):
                     [theta_old[:, 1:], jnp.zeros((1, k), f)], 0
                 )
                 nch_u = lay.up_col.shape[0]
+                onehot = lay.up_val is None
 
                 def upd_dense(A, inp):
-                    ci, cb, vb = inp
+                    if onehot:
+                        ci, cb = inp
+                        vb = (cb != lay.F).astype(f)
+                    else:
+                        ci, cb, vb = inp
                     A_chunk = jax.lax.dynamic_slice(
                         A, (ci * CU, 0), (CU, 1 + k)
                     )
@@ -817,10 +828,11 @@ class MCMCVectorLearner(MCMCLearner):
                         None,
                     )
 
+                iot = jnp.arange(nch_u, dtype=jnp.int32)
                 A, _ = jax.lax.scan(
                     upd_dense, A,
-                    (jnp.arange(nch_u, dtype=jnp.int32),
-                     lay.up_col, lay.up_val),
+                    (iot, lay.up_col) if onehot
+                    else (iot, lay.up_col, lay.up_val),
                 )
                 upd_buckets = []
             else:
