@@ -98,6 +98,41 @@ def test_golden_sgd(ref_bin, data_files):
     assert abs(hist[-1][1] - ref[-1]) < 0.07, (hist[-1][1], ref[-1])
 
 
+def test_golden_mcmc_classification(ref_bin, tmp_path):
+    """Probit MCMC classification vs the reference binary: final
+    accuracy within chain variance (round-2 quality study, BENCHNOTES
+    "CTR classification quality study": seed spreads overlap)."""
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    train, test, _ = ctr_like(
+        num_fields=5, field_cardinality=80, num_examples=12000, seed=2
+    )
+    trp, tep = str(tmp_path / "c.train"), str(tmp_path / "c.test")
+    train.to_libfm_text(trp)
+    test.to_libfm_text(tep)
+    out = subprocess.run(
+        [ref_bin, "-task", "c", "-train", trp, "-test", tep,
+         "-method", "mcmc", "-dim", "1,1,8", "-iter", "40", "-seed", "1"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    ref_acc = float(
+        [l for l in out.splitlines() if l.startswith("#Iter")][-1]
+        .rsplit("Test=", 1)[1].split()[0]
+    )
+    train.binarize_targets()
+    test.binarize_targets()
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    ours = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=40, seed=1, verbose=False
+    )
+    ours.learn(train, test)
+    assert abs(ours.history[-1]["test_all"] - ref_acc) < 0.02, (
+        ours.history[-1]["test_all"], ref_acc,
+    )
+
+
 def test_golden_sgda(ref_bin, data_files, tmp_path):
     """Adaptive-regularization SGD vs the reference binary
     (fm_learn_sgd_element_adapt_reg.h:276-311). Batched lambda adaptation
