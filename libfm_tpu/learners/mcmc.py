@@ -40,7 +40,6 @@ latent targets (fm_learn_mcmc_simultaneous.h:151-196).
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 
 import jax

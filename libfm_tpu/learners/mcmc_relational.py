@@ -34,7 +34,6 @@ conflict-free blocks are unrolled (static shapes).
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 
 import jax

@@ -39,7 +39,6 @@ free (measurements in BENCHNOTES.md).
 
 from __future__ import annotations
 
-import time
 from functools import partial
 
 import jax

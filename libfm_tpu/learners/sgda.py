@@ -23,7 +23,6 @@ grad_w[n], grad_v[n,k] updated by scatter (last-write within a batch).
 
 from __future__ import annotations
 
-import time
 
 import jax
 import jax.numpy as jnp
