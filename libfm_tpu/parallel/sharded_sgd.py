@@ -167,6 +167,30 @@ class ShardedSGDLearner(SGDLearner):
             _device_put_batches(b, batch_sh), self.min_target, self.max_target
         )
 
+    def predict(self, ds) -> np.ndarray:
+        """Linked predictions over the mesh; fully-replicated outputs so
+        every process holds the full vector."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from libfm_tpu.learners import base
+        from libfm_tpu.models.fm import fm_batch_terms
+
+        param_sh, batch_sh, repl = fm_shardings(self.mesh)
+        b = batch_dataset(ds, self.batch_size)
+        batches = _device_put_batches(b, batch_sh)
+        fwd = jax.jit(
+            lambda p, ids, vals: fm_batch_terms(p, ids, vals, self.cfg)[0],
+            out_shardings=NamedSharding(self.mesh, P()),
+        )
+        preds = np.concatenate(
+            [np.asarray(fwd(self.params, bt[0], bt[1])) for bt in batches]
+        )[: ds.num_rows]
+        return np.asarray(
+            base.link_prediction(
+                jnp.asarray(preds), self.task, self.min_target, self.max_target
+            )
+        )
+
     def _eval_batches(self, batches, min_t, max_t):
         sq = ab = cnt = 0.0
         for b in batches:

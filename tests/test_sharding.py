@@ -119,3 +119,20 @@ def test_vector_mcmc_tp_matches_single(data):
     got = [h["test_this"] for h in d.history]
     want = [h["test_this"] for h in c.history]
     assert np.allclose(got, want, atol=2e-3), (got, want)
+
+
+def test_sharded_sgd_predict_and_evaluate(data):
+    train, test = data
+    cfg = FMConfig(num_features=train.num_features, num_factors=4, regv=0.01)
+    mesh = make_mesh(data=4, model=2)
+    l = ShardedSGDLearner(
+        cfg, mesh=mesh, num_iter=2, learn_rate=0.01, batch_size=512,
+        seed=1, verbose=False,
+    )
+    l.learn(train, test)
+    preds = l.predict(test)
+    assert preds.shape == (test.num_rows,)
+    assert (preds >= train.min_target - 1e-5).all()
+    assert (preds <= train.max_target + 1e-5).all()
+    rmse = float(np.sqrt(np.mean((preds - test.target) ** 2)))
+    assert abs(rmse - l.evaluate(test)) < 0.05
