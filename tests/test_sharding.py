@@ -136,3 +136,30 @@ def test_sharded_sgd_predict_and_evaluate(data):
     assert (preds <= train.max_target + 1e-5).all()
     rmse = float(np.sqrt(np.mean((preds - test.target) ** 2)))
     assert abs(rmse - l.evaluate(test)) < 0.05
+
+
+def test_vector_mcmc_tp_classification(data):
+    """TP mesh + probit classification: finite metrics and parity with
+    the single-device engine."""
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    train, test, groups = ctr_like(
+        num_fields=4, field_cardinality=40, num_examples=4000, seed=6
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    a = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=6, seed=2, verbose=False,
+        attr_group=groups,
+    )
+    a.learn(train, test)
+    mesh = make_mesh(data=2, model=4)
+    b = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=6, seed=2, verbose=False,
+        attr_group=groups, mesh=mesh,
+    )
+    b.learn(train, test)
+    got = [h["test_all"] for h in b.history]
+    want = [h["test_all"] for h in a.history]
+    assert np.allclose(got, want, atol=5e-3), (got, want)
