@@ -417,6 +417,11 @@ class MCMCVectorLearner(MCMCLearner):
                     up_val=up_val,
                 )
             )
+            # free the host slot arrays as soon as the device copies
+            # exist — for big runs the layouts are the largest host
+            # allocation after the CSR itself (bounded host peak RSS)
+            lay.buckets = []
+            del dual_host, dense_host
 
         nc_train, nc_test = train.num_rows, test.num_rows
         # prediction rows per scan step, sized so the PADDED [C, L, d]
