@@ -312,6 +312,15 @@ def main(argv=None) -> int:
         from libfm_tpu.learners.sgd import SGDLearner
 
         assert len(reg) in (0, 1, 3), "-regular expects 0, 1 or 3 values"
+        if mesh is not None and stream_train is not None:
+            # the streaming epoch is a single-device loop; a silent
+            # fall-through would ignore the mesh AND feed single-device
+            # params to the sharded eval step
+            print(
+                "WARNING: -mesh is not supported together with "
+                "-cache_size streaming; training unsharded."
+            )
+            mesh = None
         if mesh is not None:
             from libfm_tpu.parallel.sharded_sgd import ShardedSGDLearner
 

@@ -142,17 +142,16 @@ class StreamingDataset:
         self.min_target, self.max_target = -1.0, 1.0
 
     def max_row_nnz(self) -> int:
-        """Max entries in any row, from one cheap seek-only pass over the
-        interleaved size prefixes (no entry data is read)."""
+        """Max entries in any row, from one buffered streaming pass
+        (window-sized numpy diffs, not per-row syscalls — at ML-10M
+        scale a Python read/seek per row costs tens of seconds)."""
         if self._max_row_nnz is None:
             best = 0
-            with open(self.x_path, "rb") as fh:
-                fh.seek(_FMATRIX_HEADER.size)
-                for _ in range(self.num_rows):
-                    (size,) = struct.unpack("<I", fh.read(4))
-                    if size > best:
-                        best = size
-                    fh.seek(8 * size, 1)
+            for _, indptr, _, _, _, _ in stream_sparse_binary(
+                self.x_path, self.entry_budget
+            ):
+                if len(indptr) > 1:
+                    best = max(best, int(np.diff(indptr).max()))
             self._max_row_nnz = best
         return self._max_row_nnz
 

@@ -63,7 +63,7 @@ def build_block_layout(
     entry_feat: np.ndarray,  # position 0..F-1 within `features`
     groups: np.ndarray,
     num_rows: int,
-    widths: tuple = (8, 64, 512),
+    widths: tuple = (32, 256),  # learner default; see MCMCVectorLearner
 ) -> VectorBlockLayout:
     F = len(features)
     order = np.argsort(entry_feat, kind="stable")

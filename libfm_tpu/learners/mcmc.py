@@ -145,6 +145,10 @@ def _stack_blocks(blocks, attr_group, n_features: int, n_rows: int, dtype):
         erows[i, :ne] = b.entry_rows
         evals[i, :ne] = b.entry_vals
         efeat[i, :ne] = b.entry_feat
+        # pad entry_feat with the MAX real id, not 0: the block draws'
+        # seg_sums pass indices_are_sorted, so the padded tail must stay
+        # monotone (padded entries contribute zeros either way)
+        efeat[i, ne:] = max(nf - 1, 0)
     return StackedBlocks(
         features=jnp.asarray(feats),
         groups=jnp.asarray(groups),
@@ -1108,6 +1112,13 @@ class MCMCLearner:
             raise ValueError(
                 "predict_new does not join relational blocks; "
                 "pass the joined design matrix"
+            )
+        if ds.num_features > self.cfg.num_features:
+            # JAX gathers CLAMP out-of-bounds ids (they would silently
+            # score with the LAST feature's weights)
+            raise ValueError(
+                f"dataset has feature ids up to {ds.num_features - 1} but "
+                f"the model covers {self.cfg.num_features} features"
             )
         params = self.get_params()
         b = batch_dataset(ds, batch_size)

@@ -319,14 +319,15 @@ class SGDLearner:
         )
         history = []
         for it in range(self.num_iter):
-            t0 = time.perf_counter()
+            c0 = iter_clocks()
             for ids, vals, y, m in stream.iter_batches(self.batch_size, max_nnz):
                 self.params = step(
                     self.params, jnp.asarray(ids), jnp.asarray(vals),
                     jnp.asarray(y), jnp.asarray(m),
                 )
             jax.block_until_ready(self.params.v)
-            dt = time.perf_counter() - t0
+            c1 = iter_clocks()
+            dt = c1[2] - c0[2]
             if it == 0 and stream.truncated_rows:
                 import warnings
 
@@ -339,9 +340,20 @@ class SGDLearner:
                 )
             m_test = self._eval(self.params, *e_arrs, min_t, max_t)
             te = float(m_test[0])
+            c2 = iter_clocks()
             history.append((float("nan"), te, dt))
             if self.verbose:
                 print(f"#Iter={it:3d}\tTest={te:.6g}")
+            if self.rlog is not None:
+                if self.task == TASK_REGRESSION:
+                    self.rlog.log("rmse", te)
+                    self.rlog.log("mae", float(m_test[1]))
+                else:
+                    self.rlog.log("accuracy", te)
+                self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn4", dt)
+                self.rlog.log("time_pred", c2[0] - c1[0])
+                self.rlog.new_line()
         self.history = history
         return history
 

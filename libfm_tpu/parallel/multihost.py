@@ -9,11 +9,11 @@ scratch the JAX way:
    `jax.devices()` spans ALL processes and a Mesh built over them gives
    global SPMD: the same `NamedSharding` annotations used single-host
    drive ICI+DCN collectives across hosts.
-2. `host_local_batches()` / `make_global_batch()` — per-process data
-   loading: each process keeps only its `data`-axis shard of every batch
-   and assembles the global jax.Array from local shards
-   (`jax.make_array_from_single_device_arrays`), so no host ever
-   materialises the full batch.
+2. `process_shard()` + `make_global_array()` — per-process data
+   loading: `process_shard(num_rows)` is the contiguous row range this
+   process owns; `make_global_array` assembles the global jax.Array
+   from that local slab via `jax.make_array_from_callback`, so no host
+   ever materialises remote rows.
 
 Env contract (set by the launcher, e.g. one per host):
     LIBFM_COORDINATOR  host:port of process 0 (default 127.0.0.1:9731)

@@ -24,7 +24,11 @@ import numpy as np
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from libfm_tpu.parallel.multihost import init_distributed, make_global_array
+from libfm_tpu.parallel.multihost import (
+    init_distributed,
+    make_global_array,
+    process_shard,
+)
 
 init_distributed(f"127.0.0.1:{port}", nproc, rank)
 assert jax.process_count() == nproc, jax.process_count()
@@ -53,9 +57,9 @@ B = 512
 tb = batch_dataset(train, B)
 eb = batch_dataset(test, B)
 
-# per-host rows: this process's devices own the contiguous row range
-# [rank*B/nproc, (rank+1)*B/nproc) of every batch
-rows = slice(rank * B // nproc, (rank + 1) * B // nproc)
+# per-host rows: this process's devices own a contiguous row range of
+# every batch (the data axis is laid out in process order)
+rows = process_shard(B)
 row0 = rows.start
 
 
