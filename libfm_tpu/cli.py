@@ -368,13 +368,18 @@ def main(argv=None) -> int:
                 learner.learn_stream(stream_train, test)
             else:
                 learner.learn(train, test)
+        # the last epoch's metrics ARE the final-parameter evaluation;
+        # reuse them instead of re-uploading both datasets
+        hist = getattr(learner, "history", None)
         if stream_train is not None:
-            print(f"Final\tTest={learner.evaluate(test):.6g}")
+            te_f = hist[-1][1] if hist else learner.evaluate(test)
+            print(f"Final\tTest={te_f:.6g}")
         else:
-            print(
-                f"Final\tTrain={learner.evaluate(train):.6g}"
-                f"\tTest={learner.evaluate(test):.6g}"
-            )
+            if hist:
+                tr_f, te_f = hist[-1][0], hist[-1][1]
+            else:
+                tr_f, te_f = learner.evaluate(train), learner.evaluate(test)
+            print(f"Final\tTrain={tr_f:.6g}\tTest={te_f:.6g}")
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
     elif method == "sgda":
@@ -402,7 +407,14 @@ def main(argv=None) -> int:
             rlog.init()
         with maybe_profile():
             learner.learn(train, test, validation)
-        print(f"Final\tTrain={learner.evaluate(train):.6g}\tTest={learner.evaluate(test):.6g}")
+        hist = getattr(learner, "history", None)
+        if hist:
+            print(f"Final\tTrain={hist[-1][0]:.6g}\tTest={hist[-1][1]:.6g}")
+        else:
+            print(
+                f"Final\tTrain={learner.evaluate(train):.6g}"
+                f"\tTest={learner.evaluate(test):.6g}"
+            )
         preds = learner.predict(test) if args.out else None
         params_out = learner.params
     elif method == "mcmc":
@@ -421,6 +433,11 @@ def main(argv=None) -> int:
                 print(
                     "WARNING: -mesh applies to the vector engine only; "
                     "ignoring."
+                )
+            if args.refresh_every != 1:
+                print(
+                    "WARNING: -refresh_every applies to the vector "
+                    "engine only; ignoring."
                 )
 
         learner = MCMCLearner(
@@ -443,7 +460,10 @@ def main(argv=None) -> int:
         with maybe_profile():
             learner.learn(train, test)
         preds = learner.predict(test) if args.out else None
-        params_out = None
+        # -save_model passed the guard above only for `als` (the
+        # reference supports it there: libfm.cpp:123-133, 431-434);
+        # ALS params are the deterministic final solution
+        params_out = learner.get_params() if args.save_model else None
     else:
         print(f"ERROR: unknown method {args.method}")
         return 1

@@ -1174,8 +1174,11 @@ def _masked_auc(p, y, mask):
     Capability beyond the reference (which logs only accuracy and
     log10-likelihood); BASELINE.json's quality metric names Criteo AUC.
     Ties get arbitrary (not midpoint) ranks — bias is O(ties/n), nil for
-    continuous posterior-mean scores.
+    continuous posterior-mean scores. Ranks/sums run in float32
+    regardless of model dtype (bf16 rank arithmetic quantizes above 256).
     """
+    p = p.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     n = p.shape[0]
     order = jnp.argsort(jnp.where(mask > 0, p, jnp.inf))
     ranks = jnp.zeros(n, p.dtype).at[order].set(

@@ -106,8 +106,6 @@ class ShardedSGDLearner(SGDLearner):
         self._eval_step = make_sharded_eval_step(cfg, self.task, self.mesh)
 
     def learn(self, train, test):
-        import time
-
         if train.relations:
             raise ValueError("relations are not supported with SGD")
         if self.params is None:

@@ -206,3 +206,27 @@ def test_rlog_header_matches_reference_schema(tmp_path, files):
         "rmse", "mae", "time_pred", "time_learn", "time_learn2",
         "time_learn4", "rmse_train",
     ]
+
+
+def test_cli_als_save_model(files, tmp_path):
+    """-save_model must write for ALS (reference enables it for SGD and
+    ALS, libfm.cpp:123-133, 431-434) — round-2 self-review finding."""
+    d, trp, tep = files
+    model = str(tmp_path / "als_model.txt")
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "als",
+        "-dim", "1,1,2", "-iter", "2", "-seed", "1", "-regular", "0,1,2",
+        "-save_model", model,
+    ])
+    assert rc == 0
+    import os
+    assert os.path.exists(model)
+    assert open(model).read().startswith("#global bias W0")
+
+    # mcmc still refuses (parity)
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "mcmc",
+        "-dim", "1,1,2", "-iter", "1", "-save_model", str(tmp_path / "no.txt"),
+    ])
+    assert rc == 0
+    assert not os.path.exists(str(tmp_path / "no.txt"))
