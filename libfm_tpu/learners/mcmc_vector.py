@@ -799,11 +799,20 @@ class MCMCVectorLearner(MCMCLearner):
             # per-feature delta/v_old tables are small gathers). The
             # sentinel id F hits the appended zero rows, so uncovered
             # and padding cases add exactly 0.
+            # one fused per-feature table [F+1, d+1]: the delta AND the
+            # scalar s_j = v_old_j . dv_j, using the identity
+            # qp . dv = Q . dv - x * (v_old . dv) — ONE row gather per
+            # case/slot instead of two (the gathers, not the dense A
+            # traffic, dominate large-F blocks). Row F is zero so
+            # sentinel/padded lookups contribute exactly 0.
+            s_col = jnp.einsum("fk,fk->f", theta_old[:, 1:], delta[:, 1:])
+            upd_tab = jnp.concatenate(
+                [delta, s_col[:, None]], axis=1
+            )  # [F, d+1]
+            upd_tab = jnp.concatenate(
+                [upd_tab, jnp.zeros((1, d + 1), f)], axis=0
+            )
             if lay.up_col is not None:
-                delta_pad = jnp.concatenate([delta, jnp.zeros((1, d), f)], 0)
-                v_old_pad = jnp.concatenate(
-                    [theta_old[:, 1:], jnp.zeros((1, k), f)], 0
-                )
                 nch_u = lay.up_col.shape[0]
                 onehot = lay.up_val is None
 
@@ -816,14 +825,16 @@ class MCMCVectorLearner(MCMCLearner):
                     A_chunk = jax.lax.dynamic_slice(
                         A, (ci * CU, 0), (CU, 1 + k)
                     )
-                    dlt = delta_pad[cb]  # [CU, d]
-                    v_o = v_old_pad[cb]  # [CU, k]
-                    qp = A_chunk[:, 1:] - vb[:, None] * v_o
+                    dlt = upd_tab[cb]  # [CU, d+1] — the single gather
                     dpred = vb * (
-                        dlt[:, 0] + jnp.einsum("ck,ck->c", qp, dlt[:, 1:])
-                    )
+                        dlt[:, 0]
+                        + jnp.einsum(
+                            "ck,ck->c", A_chunk[:, 1:], dlt[:, 1 : 1 + k]
+                        )
+                    ) - (vb * vb) * dlt[:, 1 + k]
                     rows = jnp.concatenate(
-                        [dpred[:, None], vb[:, None] * dlt[:, 1:]], axis=1
+                        [dpred[:, None], vb[:, None] * dlt[:, 1 : 1 + k]],
+                        axis=1,
                     )
                     return (
                         jax.lax.dynamic_update_slice(
@@ -843,26 +854,23 @@ class MCMCVectorLearner(MCMCLearner):
                 upd_buckets = lay.buckets + lay.dual_buckets
             for b in upd_buckets:
                 def upd_chunk(A, inp):
+                    # same fused identity as the dense pass: dpred =
+                    # x*dw + x*(Q . dv) - x^2 * s_j, so the slot pass
+                    # needs only the A row gather + ONE [C, d+1] table
+                    # gather (the separate V[feats[sf]] gather is gone)
                     sc, sv, sf = inp
-                    _, qp, _ = _slot_hM_on(A, sc, sv, sf)
-                    d_seg = delta[sf]  # [C, d]
+                    Q_slot = A[sc][..., 1:]  # [C, W, k]
+                    tab = upd_tab[jnp.minimum(sf, F)]  # [C, d+1]
                     dpred = sv * (
-                        d_seg[:, None, 0]
-                        + jnp.einsum("swk,sk->sw", qp, d_seg[:, 1:])
-                    )
-                    dQ = sv[..., None] * d_seg[:, None, 1:]
+                        tab[:, None, 0]
+                        + jnp.einsum("swk,sk->sw", Q_slot, tab[:, 1 : 1 + k])
+                    ) - (sv * sv) * tab[:, None, 1 + k]
+                    dQ = sv[..., None] * tab[:, None, 1 : 1 + k]
                     drows = jnp.concatenate([dpred[..., None], dQ], axis=-1)
                     A = A.at[sc.reshape(-1)].add(
                         drows.reshape(-1, 1 + k), unique_indices=True
                     )
                     return A, None
-
-                def _slot_hM_on(A, sc, sv, sf):
-                    A_slot = A[sc]
-                    Q_slot = A_slot[..., 1:]
-                    v_seg = V[feats[sf]]
-                    qp = Q_slot - sv[..., None] * v_seg[:, None, :]
-                    return A_slot[..., 0], qp, None
 
                 A, _ = jax.lax.scan(
                     upd_chunk, A, (b.slot_case, b.slot_val, b.seg_feat)
