@@ -181,10 +181,40 @@ def main(argv=None) -> int:
                 f"Training out-of-core: {xp} "
                 f"({_os.path.getsize(xp)} B > cache_size {budget} B)"
             )
-    elif args.cache_size and method not in ("sgd",):
+    elif args.cache_size and method == "mcmc":
+        # MCMC/ALS out-of-core: like the reference, needs the binary
+        # pair plus its transpose on disk (libfm.cpp:141-174 reads the
+        # .xt data_t when --cache_size is set); the host-side layout
+        # build then streams block by block (bounded RSS) while the
+        # device keeps the resident caches.
+        import os as _os
+
+        xp, yp = args.train + ".x", args.train + ".y"
+        xtp = args.train + ".xt"
+        budget = int(float(args.cache_size))
+        if (
+            _os.path.exists(xp)
+            and _os.path.exists(xtp)
+            and _os.path.getsize(xp) > budget
+        ):
+            from libfm_tpu.data.streaming import StreamingDataset
+
+            stream_train = StreamingDataset(
+                xp, yp, entry_budget=max(1024, budget // 8)
+            )
+            print(
+                f"Training out-of-core: {xp} "
+                f"({_os.path.getsize(xp)} B > cache_size {budget} B)"
+            )
+        elif _os.path.exists(xp) and not _os.path.exists(xtp):
+            print(
+                f"WARNING: -cache_size for MCMC/ALS needs the transpose "
+                f"at {xtp} (build it with tools/transpose.py); loading "
+                "resident."
+            )
+    elif args.cache_size:
         print(
-            "WARNING: -cache_size streaming applies to SGD; MCMC/ALS "
-            "scale via the device mesh (-mesh)."
+            "WARNING: -cache_size streaming applies to SGD and MCMC/ALS."
         )
 
     if stream_train is None:
@@ -209,7 +239,7 @@ def main(argv=None) -> int:
     # relations (BS)
     rel_names = _split_list(args.relation)
     if rel_names and stream_train is not None:
-        print("ERROR: -relation is not supported with out-of-core SGD")
+        print("ERROR: -relation is not supported with -cache_size streaming")
         return 1
     relations = []
     for rn in rel_names:
@@ -419,7 +449,17 @@ def main(argv=None) -> int:
         params_out = learner.params
     elif method == "mcmc":
         extra = {}
-        if args.engine == "vector" and not train.relations:
+        if stream_train is not None and args.engine != "vector":
+            print(
+                "WARNING: -cache_size streaming needs the vector engine; "
+                "loading resident."
+            )
+            print("Loading train...")
+            train = Dataset.load(args.train)
+            stream_train = None
+        if args.engine == "vector" and (
+            train is None or not train.relations
+        ):
             from libfm_tpu.learners.mcmc_vector import (
                 MCMCVectorLearner as MCMCLearner,
             )
@@ -458,7 +498,9 @@ def main(argv=None) -> int:
         if rlog:
             rlog.init()
         with maybe_profile():
-            learner.learn(train, test)
+            learner.learn(
+                stream_train if stream_train is not None else train, test
+            )
         preds = learner.predict(test) if args.out else None
         # -save_model passed the guard above only for `als` (the
         # reference supports it there: libfm.cpp:123-133, 431-434);

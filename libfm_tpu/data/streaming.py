@@ -77,6 +77,139 @@ def stream_sparse_binary(path: str, entry_budget: int = 10_000_000):
             row_start += rows_here
 
 
+# ------------------------------------------- streaming MCMC layout build
+
+
+def infer_position_groups(
+    x_path: str, num_features: int, entry_budget: int = 10_000_000
+):
+    """Infer a conflict-free feature partition from a streamed .x binary:
+    block := position-of-entry-within-row (the streaming analog of the
+    in-memory fast path in batching.conflict_free_blocks). Returns an
+    int32[num_features] block-id array, or None when the data is not
+    position-structured (some feature appears at two different within-row
+    positions). One bounded pass, O(num_features) host memory."""
+    first = np.full(num_features, -1, dtype=np.int64)
+    ok = True
+    for _, indptr, cols, _, _, _ in stream_sparse_binary(x_path, entry_budget):
+        lengths = np.diff(indptr).astype(np.int64)
+        pos = np.arange(int(indptr[-1]), dtype=np.int64) - np.repeat(
+            indptr[:-1], lengths
+        )
+        new = first[cols] == -1
+        first[cols[new]] = pos[new]
+        if not bool((first[cols] == pos).all()):
+            ok = False
+            break
+    if not ok:
+        return None
+    first[first == -1] = 0  # unobserved features: any block
+    return first.astype(np.int32)
+
+
+def stream_feature_blocks(
+    xt_path: str,
+    block_of_feature: np.ndarray,
+    num_rows: int,
+    entry_budget: int = 10_000_000,
+    check_conflicts: bool = True,
+):
+    """Yield conflict-free FeatureBlocks from a TRANSPOSED design matrix
+    (.xt, one binary row per feature — the reference's data_t file,
+    /root/reference/src/libfm/libfm.cpp:141-174) without ever holding the
+    full transpose in host memory.
+
+    `block_of_feature` assigns each feature to its block (from -meta
+    groups or `infer_position_groups`). Features of a block should be
+    (near-)contiguous in feature order — host memory is bounded by the
+    entries of blocks still open plus one stream window; for contiguous
+    blocks that is one block at a time. Conflict-freeness (no training
+    row holding two features of one block) is verified exactly per block
+    via a row-seen bitmap when `check_conflicts`; a violation raises
+    ValueError (the in-memory builder falls back to a greedy partition;
+    out-of-core cannot)."""
+    from libfm_tpu.data.batching import FeatureBlock
+
+    block_of_feature = np.asarray(block_of_feature)
+    n_blocks = int(block_of_feature.max()) + 1 if len(block_of_feature) else 0
+    # last feature id of each block: a block can be finalised once the
+    # stream has passed it
+    bmax = np.zeros(n_blocks, dtype=np.int64)
+    bmax[block_of_feature] = np.arange(len(block_of_feature), dtype=np.int64)
+
+    open_acc: dict[int, dict] = {}
+
+    def _finalize(b):
+        acc = open_acc.pop(b)
+        feats = np.concatenate(acc["feats"])
+        counts = np.concatenate(acc["counts"])
+        nz = counts > 0  # zero-entry features are "unobserved": prior draws
+        feats, counts = feats[nz], counts[nz]
+        if not len(feats):
+            return None
+        return FeatureBlock(
+            features=feats.astype(np.int32),
+            entry_rows=np.concatenate(acc["rows"]).astype(np.int32),
+            entry_vals=np.concatenate(acc["vals"]).astype(np.float32),
+            entry_feat=np.repeat(
+                np.arange(len(feats), dtype=np.int32), counts
+            ),
+            exact=True,
+        )
+
+    for f0, indptr, rows, vals, nfeat_total, _ in stream_sparse_binary(
+        xt_path, entry_budget
+    ):
+        nf = len(indptr) - 1
+        b_win = block_of_feature[f0 : f0 + nf]
+        cuts = np.nonzero(np.diff(b_win))[0] + 1
+        run_lo = np.concatenate([[0], cuts])
+        run_hi = np.concatenate([cuts, [nf]])
+        for s_, e_ in zip(run_lo, run_hi):
+            b = int(b_win[s_])
+            lo, hi = int(indptr[s_]), int(indptr[e_])
+            acc = open_acc.setdefault(
+                b,
+                {
+                    "feats": [],
+                    "counts": [],
+                    "rows": [],
+                    "vals": [],
+                    "used": (
+                        np.zeros(num_rows, dtype=bool)
+                        if check_conflicts
+                        else None
+                    ),
+                },
+            )
+            acc["feats"].append(
+                np.arange(f0 + s_, f0 + e_, dtype=np.int64)
+            )
+            acc["counts"].append(
+                np.diff(indptr[s_ : e_ + 1]).astype(np.int64)
+            )
+            acc["rows"].append(rows[lo:hi].copy())
+            acc["vals"].append(vals[lo:hi].copy())
+            if check_conflicts and hi > lo:
+                r = rows[lo:hi]
+                if acc["used"][r].any():
+                    raise ValueError(
+                        f"block {b} is not conflict-free: a training row "
+                        "holds two of its features (fix the -meta groups "
+                        "or train in-memory)"
+                    )
+                acc["used"][r] = True
+        last_seen = f0 + nf - 1
+        for b in sorted(b for b in open_acc if bmax[b] <= last_seen):
+            blk = _finalize(b)
+            if blk is not None:
+                yield blk
+    for b in sorted(open_acc):
+        blk = _finalize(b)
+        if blk is not None:
+            yield blk
+
+
 # ------------------------------------------------------------- flat format
 
 

@@ -168,35 +168,83 @@ class MCMCVectorLearner(MCMCLearner):
         # fm_learn_mcmc_simultaneous.h:123-124). Classification always
         # refreshes (the probit latent resample lives in that pass).
         self.refresh_every = refresh_every
+        # profiling-only: trace-time phase skips inside sweep_block
+        # ({"stats", "draw", "update"}); wrong results, real timings
+        self._skip_phases = frozenset()
 
     # ----------------------------------------------------------- layout
-    def _build_vector_layouts(self, train: Dataset):
+    def _build_vector_layouts(self, train):
+        """(layout_iter, attr_group): lazily yields one VectorBlockLayout
+        per conflict-free block so learn() can devicize and free each
+        before the next is built (peak host RSS = one block, not the
+        whole layout set).
+
+        For a `StreamingDataset` train (binary .x/.y pair) the blocks
+        stream from the transposed `<x_path>t` file — the reference's
+        out-of-core MCMC path, which reads its transpose from the .xt
+        data_t file (/root/reference/src/libfm/libfm.cpp:141-174) — so
+        the full CSC is never resident either."""
         attr_group = self.attr_group_np
         if attr_group is None:
             attr_group = np.zeros(self.cfg.num_features, dtype=np.int32)
-        blocks = conflict_free_blocks(train, attr_group=attr_group)
-        layouts = []
-        observed = []
-        for b in blocks:
-            layouts.append(
-                build_block_layout(
+
+        from libfm_tpu.data.streaming import StreamingDataset
+
+        if isinstance(train, StreamingDataset):
+            import os
+
+            from libfm_tpu.data.streaming import (
+                infer_position_groups,
+                stream_feature_blocks,
+            )
+
+            xt = train.x_path + "t"
+            if not os.path.exists(xt):
+                raise ValueError(
+                    f"streaming MCMC/ALS needs the transposed design "
+                    f"matrix at {xt} (build it with tools/transpose.py)"
+                )
+            if int(attr_group.max()) > 0:
+                part = attr_group
+            else:
+                part = infer_position_groups(
+                    train.x_path, self.cfg.num_features, train.entry_budget
+                )
+                if part is None:
+                    raise ValueError(
+                        "streaming MCMC/ALS requires conflict-free -meta "
+                        "groups or position-structured rows (one feature "
+                        "per within-row position)"
+                    )
+
+            def _gen_stream():
+                for b in stream_feature_blocks(
+                    xt, part, train.num_rows, train.entry_budget
+                ):
+                    yield build_block_layout(
+                        b.features, b.entry_rows, b.entry_vals,
+                        b.entry_feat, attr_group[b.features],
+                        train.num_rows, self.widths,
+                    )
+
+            return _gen_stream(), attr_group
+
+        def _gen_mem():
+            blocks = conflict_free_blocks(train, attr_group=attr_group)
+            while blocks:  # pop so each block's entries free after use
+                b = blocks.pop(0)
+                yield build_block_layout(
                     b.features, b.entry_rows, b.entry_vals, b.entry_feat,
                     attr_group[b.features], train.num_rows, self.widths,
                 )
-            )
-            observed.append(b.features)
-        observed = (
-            np.concatenate(observed) if observed else np.empty(0, np.int32)
-        )
-        mask = np.ones(self.cfg.num_features, dtype=bool)
-        if len(observed):
-            mask[observed] = False
-        unobserved = np.nonzero(mask)[0].astype(np.int32)
-        return layouts, unobserved, attr_group
+
+        return _gen_mem(), attr_group
 
     # ------------------------------------------------------------ learn
-    def learn(self, train: Dataset, test: Dataset):
-        if train.relations:
+    def learn(self, train, test: Dataset):
+        """train: a Dataset, or a StreamingDataset (binary .x/.y with the
+        transposed .xt alongside) for a bounded-host-RSS layout build."""
+        if getattr(train, "relations", None):
             # block-structure data stays on the exact engine
             return self._learn_relational(train, test)
         cfg = self.cfg
@@ -212,13 +260,11 @@ class MCMCVectorLearner(MCMCLearner):
         min_t, max_t = self.min_target, self.max_target
         use_linear = cfg.use_linear
 
-        layouts, unobserved_np, attr_group_np = self._build_vector_layouts(train)
+        layout_iter, attr_group_np = self._build_vector_layouts(train)
         G = int(attr_group_np.max()) + 1
         num_attr_per_group = jnp.asarray(
             np.bincount(attr_group_np, minlength=G).astype(np.float64), dtype=f
         )
-        unobserved = jnp.asarray(unobserved_np)
-        n_unobs = int(unobserved_np.shape[0])
 
         # device copies of the static layouts (segment-sharded over the
         # data axis when a mesh is given; padding segments point at
@@ -365,7 +411,9 @@ class MCMCVectorLearner(MCMCLearner):
             )
 
         dev_layouts = []
-        for lay in layouts:
+        observed_list = []
+        for lay in layout_iter:
+            observed_list.append(np.asarray(lay.features, dtype=np.int32))
             F = lay.num_features
             up_col, up_val = _dense_update_arrays(lay, F)
             # split into dual-eligible (whole single-segment features
@@ -423,11 +471,27 @@ class MCMCVectorLearner(MCMCLearner):
             lay.buckets = []
             del dual_host, dense_host
 
+        # features in no block: posterior == prior draws
+        # (/root/reference/src/libfm/src/fm_learn_mcmc.h:467-476)
+        _obs_mask = np.ones(n, dtype=bool)
+        if observed_list:
+            _obs_mask[np.concatenate(observed_list)] = False
+        unobserved_np = np.nonzero(_obs_mask)[0].astype(np.int32)
+        del observed_list, _obs_mask
+        unobserved = jnp.asarray(unobserved_np)
+        n_unobs = int(unobserved_np.shape[0])
+
         nc_train, nc_test = train.num_rows, test.num_rows
+        from libfm_tpu.data.streaming import StreamingDataset as _SDS
+
+        is_stream = isinstance(train, _SDS)
         # prediction rows per scan step, sized so the PADDED [C, L, d]
         # gather temp stays ~<=300MB: the TPU (8,128) tile pads L up to 8
         # and d up to the next 128 multiple (d=129 doubles!)
-        _L = max(1, int(np.diff(train.indptr).max()) if train.nnz else 1)
+        if is_stream:
+            _L = max(1, train.max_row_nnz())
+        else:
+            _L = max(1, int(np.diff(train.indptr).max()) if train.nnz else 1)
         _Lp = ((_L + 7) // 8) * 8
         _dp = ((d + 127) // 128) * 128
         ROW_CHUNK = int(max(512, min(1 << 18, (300 << 20) // (_Lp * _dp * 4))))
@@ -449,9 +513,61 @@ class MCMCVectorLearner(MCMCLearner):
                 jnp.asarray(vals_np.reshape(nchunk, C, L), dtype=f),
             )
 
-        tr_ids, tr_pv = _chunk_rows(
-            *padded_rows_layout(train.indptr, train.cols, train.vals)
-        )
+        def _chunk_rows_stream(stream, L):
+            """Streaming analog of _chunk_rows: build each padded [C, L]
+            row chunk from bounded .x windows and upload it before the
+            next is built — the full [nr, L] host matrix never exists."""
+            from libfm_tpu.data.streaming import stream_sparse_binary
+
+            nr = stream.num_rows
+            C = min(ROW_CHUNK, max(1, nr))
+            dev_i, dev_v = [], []
+            ib = np.zeros((C, L), np.int32)
+            vb = np.zeros((C, L), np.float32)
+            fill = 0
+
+            def _flush():
+                nonlocal ib, vb, fill
+                dev_i.append(jnp.asarray(ib))
+                dev_v.append(jnp.asarray(vb, dtype=f))
+                ib = np.zeros((C, L), np.int32)
+                vb = np.zeros((C, L), np.float32)
+                fill = 0
+
+            for _, indptr, cols, vals, _, _ in stream_sparse_binary(
+                stream.x_path, stream.entry_budget
+            ):
+                nwin = len(indptr) - 1
+                done = 0
+                while done < nwin:
+                    take = min(nwin - done, C - fill)
+                    lo, hi = int(indptr[done]), int(indptr[done + take])
+                    lens = np.diff(indptr[done : done + take + 1]).astype(
+                        np.int64
+                    )
+                    row = np.repeat(
+                        np.arange(fill, fill + take, dtype=np.int64), lens
+                    )
+                    offs = np.arange(hi - lo, dtype=np.int64) - np.repeat(
+                        (indptr[done : done + take] - lo).astype(np.int64),
+                        lens,
+                    )
+                    ib[row, offs] = cols[lo:hi]
+                    vb[row, offs] = vals[lo:hi]
+                    fill += take
+                    done += take
+                    if fill == C:
+                        _flush()
+            if fill:
+                _flush()  # final partial chunk, zero-padded
+            return jnp.stack(dev_i), jnp.stack(dev_v)
+
+        if is_stream:
+            tr_ids, tr_pv = _chunk_rows_stream(train, _L)
+        else:
+            tr_ids, tr_pv = _chunk_rows(
+                *padded_rows_layout(train.indptr, train.cols, train.vals)
+            )
         te_ids, te_pv = _chunk_rows(
             *padded_rows_layout(test.indptr, test.cols, test.vals)
         )
@@ -615,7 +731,7 @@ class MCMCVectorLearner(MCMCLearner):
                     h = h.at[..., 0].set(0.0)
                 return e_slot, qp, h
 
-            for b in lay.buckets:
+            for b in (lay.buckets if "stats" not in self._skip_phases else []):
                 def stats_chunk(GG, inp):
                     sc, sv, sf, sf2 = inp
                     e_slot, qp, h = _slot_hM(sc, sv, sf)
@@ -657,7 +773,7 @@ class MCMCVectorLearner(MCMCLearner):
 
             # ---- dense path: batched d x d Cholesky draws over feature
             # chunks ([FC, d, d] linear-algebra temps stay bounded) ----
-            if Fd > 0:
+            if Fd > 0 and "draw" not in self._skip_phases:
                 dfeats = lay.dense_feats
 
                 def _padF(x, fill=0.0):
@@ -733,7 +849,9 @@ class MCMCVectorLearner(MCMCLearner):
             # system (and its ~6 full passes over [FC, d, d]) never
             # materialises. Exactness validated in tests against the
             # dense path. ----
-            for b in lay.dual_buckets:
+            for b in (
+                lay.dual_buckets if "draw" not in self._skip_phases else []
+            ):
                 nch = b.slot_case.shape[0]
                 key, kb_ = jax.random.split(key)
                 ckeys = jax.random.split(kb_, nch)
@@ -812,7 +930,9 @@ class MCMCVectorLearner(MCMCLearner):
             upd_tab = jnp.concatenate(
                 [upd_tab, jnp.zeros((1, d + 1), f)], axis=0
             )
-            if lay.up_col is not None:
+            if "update" in self._skip_phases:
+                upd_buckets = []
+            elif lay.up_col is not None:
                 nch_u = lay.up_col.shape[0]
                 onehot = lay.up_val is None
 

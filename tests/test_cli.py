@@ -230,3 +230,40 @@ def test_cli_als_save_model(files, tmp_path):
     ])
     assert rc == 0
     assert not os.path.exists(str(tmp_path / "no.txt"))
+
+
+def test_cli_cache_size_streams_mcmc(tmp_path):
+    """-cache_size below the binary size with the .xt transpose present
+    must route MCMC/ALS through the streaming layout build (the
+    reference's --cache_size data_t path, libfm.cpp:141-174)."""
+    train, test = movielens_like(num_users=30, num_items=25, num_ratings=900, seed=8)
+    stem = str(tmp_path / "m")
+    train.to_binary(stem, with_transpose=True)
+    tep = str(tmp_path / "m.test")
+    test.to_libfm_text(tep)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "-task", "r", "-train", stem, "-test", tep, "-method", "mcmc",
+            "-dim", "1,1,4", "-iter", "3", "-cache_size", "1000", "-seed", "1",
+        ])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "Training out-of-core" in out
+    assert "#Iter=  2" in out  # trained to completion
+
+    # without the transpose: warns and loads resident
+    stem2 = str(tmp_path / "n")
+    train.to_binary(stem2, with_transpose=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "-task", "r", "-train", stem2, "-test", tep, "-method", "mcmc",
+            "-dim", "1,1,4", "-iter", "2", "-cache_size", "1000", "-seed", "1",
+        ])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "needs the transpose" in out

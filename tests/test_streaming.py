@@ -85,3 +85,95 @@ def test_streaming_max_row_nnz_and_truncation(tmp_path):
         l2.learn_stream(stream, test, max_nnz=1)
     assert stream.truncated_rows > 0
     assert any("truncated" in str(w.message) for w in rec)
+
+
+# ------------------------------------------- streaming MCMC/ALS layout
+
+
+def test_infer_position_groups_matches_inmemory(tmp_path):
+    train, _ = movielens_like(num_users=40, num_items=30, num_ratings=1500, seed=7)
+    xp, yp = _write_pair(train, tmp_path, "pg")
+    part = streaming.infer_position_groups(
+        xp, train.num_features, entry_budget=300
+    )
+    # two-field one-hot data: users at position 0, items at position 1
+    assert part is not None
+    assert (part[:40] == 0).all() and (part[40:] == 1).all()
+
+
+def test_infer_position_groups_rejects_unstructured(tmp_path):
+    # a feature appearing at two within-row positions is not partitionable
+    ds = Dataset(
+        indptr=np.array([0, 2, 4], np.int64),
+        cols=np.array([0, 1, 1, 2], np.int32),
+        vals=np.ones(4, np.float32),
+        target=np.zeros(2, np.float32),
+        num_features=3,
+    )
+    ds.to_binary(str(tmp_path / "u"), with_transpose=False)
+    assert (
+        streaming.infer_position_groups(str(tmp_path / "u.x"), 3, 100) is None
+    )
+
+
+def test_stream_feature_blocks_match_inmemory(tmp_path):
+    from libfm_tpu.data.batching import conflict_free_blocks
+
+    train, _ = movielens_like(num_users=50, num_items=45, num_ratings=2500, seed=9)
+    prefix = str(tmp_path / "fb")
+    train.to_binary(prefix, with_transpose=True)
+    part = streaming.infer_position_groups(
+        prefix + ".x", train.num_features, entry_budget=400
+    )
+    streamed = list(
+        streaming.stream_feature_blocks(
+            prefix + ".xt", part, train.num_rows, entry_budget=400
+        )
+    )
+    mem = conflict_free_blocks(train)
+    assert len(streamed) == len(mem)
+    for s, m in zip(streamed, mem):
+        assert np.array_equal(s.features, m.features)
+        assert np.array_equal(s.entry_rows, m.entry_rows)
+        assert np.allclose(s.entry_vals, m.entry_vals)
+        assert np.array_equal(s.entry_feat, m.entry_feat)
+
+
+def test_streaming_mcmc_matches_inmemory(tmp_path):
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    train, test = movielens_like(num_users=60, num_items=50, num_ratings=4000, seed=11)
+    prefix = str(tmp_path / "mc")
+    train.to_binary(prefix, with_transpose=True)
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    kwargs = dict(num_iter=5, seed=2, verbose=False)
+
+    mem = MCMCVectorLearner(cfg, **kwargs)
+    mem.learn(train, test)
+
+    stream = streaming.StreamingDataset(
+        prefix + ".x", prefix + ".y", entry_budget=700
+    )
+    st = MCMCVectorLearner(cfg, **kwargs)
+    st.learn(stream, test)
+
+    # identical layouts + identical RNG stream -> identical trajectory
+    a, b = mem.history[-1], st.history[-1]
+    assert abs(a["test_all"] - b["test_all"]) < 1e-5, (a, b)
+    assert abs(a["alpha"] - b["alpha"]) < 1e-5
+
+
+def test_streaming_mcmc_needs_transpose(tmp_path):
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    train, test = movielens_like(num_users=20, num_items=15, num_ratings=400, seed=13)
+    xp, yp = _write_pair(train, tmp_path, "nt")  # no .xt written
+    stream = streaming.StreamingDataset(xp, yp, entry_budget=200)
+    l = MCMCVectorLearner(
+        FMConfig(num_features=train.num_features, num_factors=2),
+        num_iter=1, seed=1, verbose=False,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="transpose"):
+        l.learn(stream, test)
