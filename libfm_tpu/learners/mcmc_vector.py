@@ -171,6 +171,8 @@ class MCMCVectorLearner(MCMCLearner):
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
         self._skip_phases = frozenset()
+        # dense-draw scan chunk (features per batched-Cholesky step)
+        self._fc_chunk = 1024
 
     # ----------------------------------------------------------- layout
     def _build_vector_layouts(self, train):
@@ -710,9 +712,29 @@ class MCMCVectorLearner(MCMCLearner):
             # sized by the DENSE features only (dual features never touch
             # it) and chunk-padded up front so the Cholesky-draw scan can
             # reshape it without a full-size copy.
-            FC = 8192
+            # Batched-Cholesky throughput is flat from ~1K systems up
+            # (measured: [1024,130,130] chol+solve 46 ms vs [8192,130]
+            # 395 ms — same per-feature rate), so small chunks cost no
+            # throughput, shrink the [FC, d, d] solve temps 8x (at k=128
+            # each [8192,129,129] temp is 1.06 GB after the 129->256
+            # lane padding), and cut the tail-chunk padding waste (a
+            # 3.3K-feature block used to pad to 8192 dense draws).
+            FC = self._fc_chunk
+            if tp:
+                M_ = mesh.shape["model"]
+                FC = max(M_, (FC // M_) * M_)
             Fd_pad = ((max(Fd, 1) + FC - 1) // FC) * FC
-            GG = jnp.zeros((Fd_pad, (d + 1) * (d + 1)), f)  # [[H|e]^T[H|e]]
+            # Per-feature sufficient statistics, stored BLOCKED so the
+            # MXU work runs at exactly [k, k] instead of [d+1, d+1]: at
+            # k=128 the joint [130, 130] outer product pads onto four
+            # 128x128 MXU tiles (~26% utilization) and every row pads
+            # 130 -> 256 lanes; the blocked layout keeps the heavy
+            # hq^T hq factor an exact single tile. Row layout
+            # [Qq(k*k) | qa(k) | qe(k) | aa | ae] with a = x (the w
+            # column of H) and hq = x * qp; e^T e is never needed by the
+            # draw and is dropped.
+            GW = k * k + 2 * k + 2
+            GG = jnp.zeros((Fd_pad, GW), f)
             if tp:
                 # per-feature stats live row-sharded over `model`; the
                 # data-sharded bucket scatters below cross-shard via SPMD
@@ -735,19 +757,28 @@ class MCMCVectorLearner(MCMCLearner):
                 def stats_chunk(GG, inp):
                     sc, sv, sf, sf2 = inp
                     e_slot, qp, h = _slot_hM(sc, sv, sf)
-                    M = jnp.concatenate([h, e_slot[..., None]], axis=-1)
-                    Gseg = jnp.einsum(
-                        "swi,swj->sij", M, M,
+                    a = h[..., 0]  # [C, W] — x, or 0 when w is frozen
+                    hq = h[..., 1:]  # [C, W, k] — x * qp
+                    Qq = jnp.einsum(
+                        "swi,swj->sij", hq, hq,
                         preferred_element_type=jnp.float32,
                     ).astype(f)
+                    qa = jnp.einsum("swi,sw->si", hq, a)
+                    qe = jnp.einsum("swi,sw->si", hq, e_slot)
+                    aa = (a * a).sum(axis=1)
+                    ae = (a * e_slot).sum(axis=1)
+                    Gseg = jnp.concatenate(
+                        [
+                            Qq.reshape(Qq.shape[0], -1),
+                            qa, qe, aa[:, None], ae[:, None],
+                        ],
+                        axis=-1,
+                    )
                     # row scatter-add touches only this chunk's feature
                     # rows; a full `GG + seg_sum(...)` would rewrite the
                     # whole multi-GB carry on every scan step (measured:
                     # that dominated k=128 sweeps)
-                    GG = GG.at[sf2].add(
-                        Gseg.reshape(Gseg.shape[0], -1),
-                        indices_are_sorted=True,
-                    )
+                    GG = GG.at[sf2].add(Gseg, indices_are_sorted=True)
                     return GG, None
 
                 GG, _ = jax.lax.scan(
@@ -773,6 +804,10 @@ class MCMCVectorLearner(MCMCLearner):
 
             # ---- dense path: batched d x d Cholesky draws over feature
             # chunks ([FC, d, d] linear-algebra temps stay bounded) ----
+            if Fd > 0 and "draw" in self._skip_phases:
+                # profiling: keep the stats pass alive (a draw-skip would
+                # otherwise dead-code-eliminate its only consumer)
+                n_rej = n_rej + jnp.isnan(jnp.sum(GG)).astype(jnp.int32)
             if Fd > 0 and "draw" not in self._skip_phases:
                 dfeats = lay.dense_feats
 
@@ -784,10 +819,9 @@ class MCMCVectorLearner(MCMCLearner):
                     return jnp.pad(x, w_, constant_values=fill)
 
                 # split only the LEADING dim (a true free reshape — going
-                # straight to [.., d+1, d+1] would materialise all of GG
-                # with 2x tile padding); chunks reshape to square on
-                # their own
-                GG_c = GG.reshape(-1, FC, (d + 1) * (d + 1))
+                # straight to square would materialise all of GG with
+                # tile padding); chunks reshape to square on their own
+                GG_c = GG.reshape(-1, FC, GW)
                 th_c = _padF(theta_old[dfeats]).reshape(-1, FC, d)
                 lam_c = _padF(lam[dfeats], fill=1.0).reshape(-1, FC, d)
                 mu_c = _padF(mu_pr[dfeats]).reshape(-1, FC, d)
@@ -807,28 +841,76 @@ class MCMCVectorLearner(MCMCLearner):
                     )
 
                 def draw_chunk(_, inp):
+                    # Blocked draw of theta = (w, v) from the blocked
+                    # stats: Lam = [[l00, l0v], [l0v^T, Lvv]] is factored
+                    # by a rank-1 Schur step so the Cholesky and both
+                    # triangular solves run at exactly [FC, k, k] — the
+                    # joint [FC, 1+k, 1+k] system pads every row to the
+                    # next 128-lane tile (2x VPU work at k=128).
                     GGf, thf, lamf, muf, zf = inp
-                    GGm = GGf.reshape(FC, d + 1, d + 1)
-                    HtHf = GGm[:, :d, :d]
-                    Htef = GGm[:, :d, d]
-                    Lam = alpha * HtHf + jax.vmap(jnp.diag)(lamf)
-                    b_vec = (
-                        alpha * jnp.einsum("fij,fj->fi", HtHf, thf)
-                        - alpha * Htef
-                        + lamf * muf
+                    if k == 0:  # pure linear model: scalar conjugate draw
+                        aa = GGf[:, 0]
+                        ae = GGf[:, 1]
+                        prec = alpha * aa + lamf[:, 0]
+                        mean = (
+                            alpha * aa * thf[:, 0]
+                            - alpha * ae
+                            + lamf[:, 0] * muf[:, 0]
+                        ) / prec
+                        th_new = (mean + zf[:, 0] / jnp.sqrt(prec))[:, None]
+                        ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                        th_new = jnp.where(ok, th_new, thf)
+                        return None, (
+                            th_new,
+                            jnp.sum(~ok[:, 0]).astype(jnp.int32),
+                        )
+                    Qq = GGf[:, : k * k].reshape(FC, k, k)
+                    qa = GGf[:, k * k : k * k + k]
+                    qe = GGf[:, k * k + k : k * k + 2 * k]
+                    aa = GGf[:, k * k + 2 * k]
+                    ae = GGf[:, k * k + 2 * k + 1]
+                    th0, thv = thf[:, 0], thf[:, 1:]
+                    lam0, lamv = lamf[:, 0], lamf[:, 1:]
+                    # b = alpha * HtH theta - alpha * Hte + lam * mu
+                    b0 = (
+                        alpha * (aa * th0 + (qa * thv).sum(-1))
+                        - alpha * ae
+                        + lam0 * muf[:, 0]
                     )
-                    chol = jnp.linalg.cholesky(Lam)
+                    bv = (
+                        alpha
+                        * (
+                            qa * th0[:, None]
+                            + jnp.einsum("fij,fj->fi", Qq, thv)
+                        )
+                        - alpha * qe
+                        + lamv * muf[:, 1:]
+                    )
+                    # blocked Cholesky: L = [[s0, 0], [col, chol(S)]]
+                    s0 = jnp.sqrt(alpha * aa + lam0)  # [FC]
+                    col = alpha * qa / s0[:, None]  # [FC, k]
+                    S = (
+                        alpha * Qq
+                        + jax.vmap(jnp.diag)(lamv)
+                        - jnp.einsum("fi,fj->fij", col, col)
+                    )
+                    cholS = jnp.linalg.cholesky(S)
                     # mu + L^-T z = L^-T (L^-1 b + z): two triangular
                     # solves total instead of three
-                    y_low = jax.scipy.linalg.solve_triangular(
-                        chol, b_vec[..., None], lower=True
+                    y0 = b0 / s0
+                    yv = jax.scipy.linalg.solve_triangular(
+                        cholS, (bv - col * y0[:, None])[..., None],
+                        lower=True,
                     )[..., 0]
                     if do_sample:
-                        y_low = y_low + zf
-                    th_new = jax.scipy.linalg.solve_triangular(
-                        jnp.swapaxes(chol, -1, -2), y_low[..., None],
+                        y0 = y0 + zf[:, 0]
+                        yv = yv + zf[:, 1:]
+                    xv = jax.scipy.linalg.solve_triangular(
+                        jnp.swapaxes(cholS, -1, -2), yv[..., None],
                         lower=False,
                     )[..., 0]
+                    x0 = (y0 - (col * xv).sum(-1)) / s0
+                    th_new = jnp.concatenate([x0[:, None], xv], axis=1)
                     ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
                     th_new = jnp.where(ok, th_new, thf)
                     return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
