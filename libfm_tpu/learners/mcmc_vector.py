@@ -59,6 +59,12 @@ from libfm_tpu.learners.mcmc import (
     _masked_acc_ll,
 )
 from libfm_tpu.ops import samplers
+from libfm_tpu.ops.lane_chol import (
+    cho_solve_lanes,
+    cholesky_lanes,
+    solve_lower_lanes,
+    solve_upper_lanes,
+)
 from libfm_tpu.ops.segment import seg_sum
 from libfm_tpu.tasks import TASK_REGRESSION
 from libfm_tpu.utils.timers import iter_clocks
@@ -894,21 +900,18 @@ class MCMCVectorLearner(MCMCLearner):
                         + jax.vmap(jnp.diag)(lamv)
                         - jnp.einsum("fi,fj->fij", col, col)
                     )
-                    cholS = jnp.linalg.cholesky(S)
+                    # batch-in-lanes factorization: XLA's batched
+                    # cholesky/solve run ~5-30x above the VPU floor for
+                    # these small systems (ops/lane_chol.py docstring)
+                    cholS = cholesky_lanes(S)
                     # mu + L^-T z = L^-T (L^-1 b + z): two triangular
                     # solves total instead of three
                     y0 = b0 / s0
-                    yv = jax.scipy.linalg.solve_triangular(
-                        cholS, (bv - col * y0[:, None])[..., None],
-                        lower=True,
-                    )[..., 0]
+                    yv = solve_lower_lanes(cholS, bv - col * y0[:, None])
                     if do_sample:
                         y0 = y0 + zf[:, 0]
                         yv = yv + zf[:, 1:]
-                    xv = jax.scipy.linalg.solve_triangular(
-                        jnp.swapaxes(cholS, -1, -2), yv[..., None],
-                        lower=False,
-                    )[..., 0]
+                    xv = solve_upper_lanes(cholS, yv)
                     x0 = (y0 - (col * xv).sum(-1)) / s0
                     th_new = jnp.concatenate([x0[:, None], xv], axis=1)
                     ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
@@ -957,7 +960,7 @@ class MCMCVectorLearner(MCMCLearner):
                     ).astype(f)
                     W_ = Kg.shape[-1]
                     Mk = Kg + jnp.eye(W_, dtype=f)
-                    cholK = jnp.linalg.cholesky(Mk)
+                    cholK = cholesky_lanes(Mk)  # batch-in-lanes (~30x XLA)
                     if do_sample:
                         ku, kd = jax.random.split(ck)
                         u = jnp.sqrt(Dinv) * jax.random.normal(
@@ -968,8 +971,7 @@ class MCMCVectorLearner(MCMCLearner):
                     else:
                         u = jnp.zeros_like(Dinv)
                         v = jnp.zeros_like(ytil)
-                    rhs = (ytil - v)[..., None]
-                    wsol = jax.scipy.linalg.cho_solve((cholK, True), rhs)[..., 0]
+                    wsol = cho_solve_lanes(cholK, ytil - v)
                     phi_vec = u + Dinv * jnp.einsum("cwd,cw->cd", Phi, wsol)
                     th_new = muf + phi_vec
                     ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
