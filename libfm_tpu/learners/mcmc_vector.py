@@ -124,18 +124,22 @@ class DevLayout:
     # (the A-scatter was the dominant per-block cost, BENCHNOTES.md).
     up_col: jax.Array | None = None
     up_val: jax.Array | None = None
+    # [nch, 8192] per-case DENSE-remapped feature id (dual/sentinel
+    # cases out of range), precomputed host-side; drives the case-major
+    # one-hot moment-matmul stats for small-F blocks (None = ineligible)
+    stats_map: jax.Array | None = None
 
     def tree_flatten(self):
         return (
             self.features, self.groups, self.buckets, self.dual_buckets,
-            self.dense_feats, self.up_col, self.up_val,
+            self.dense_feats, self.up_col, self.up_val, self.stats_map,
         ), (self.F, self.F_dense)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             *children[:5], up_col=children[5], up_val=children[6],
-            F=aux[0], F_dense=aux[1],
+            stats_map=children[7], F=aux[0], F_dense=aux[1],
         )
 
 
@@ -451,11 +455,43 @@ class MCMCVectorLearner(MCMCLearner):
             dense_feats = np.nonzero(~feat_is_dual)[0].astype(np.int32)
             dense_map = np.zeros(F, dtype=np.int32)
             dense_map[dense_feats] = np.arange(len(dense_feats), dtype=np.int32)
+            # Case-major stats eligibility: with a dense update layout
+            # AND a small F_dense x stats-row product, the stats pass can
+            # read A contiguously and reduce per-case rows onto features
+            # with ONE one-hot MXU matmul per chunk instead of per-slot
+            # A-row gathers (which run at the ~25-35 ns/row gather floor
+            # and dominate small-k sweeps — BENCHNOTES.md phase table).
+            stats_map = None
+            _MW = (d - 1) * (d - 1) + 3 * (d - 1) + 5
+            _Fd = len(dense_feats)
+            # eligibility: the one-hot moment matmul costs about
+            # Fd x nc x MW FLOPs per sweep — use it when that stays
+            # ~<=2e13 (~100 ms of MXU) and the moment table is small;
+            # big-F or huge-k blocks (ML-10M, config #5) keep the slot
+            # path, whose cost scales with nnz not Fd x nc
+            if (
+                up_col is not None
+                and _Fd * _MW <= 8_000_000
+                and float(_Fd) * _MW * nc_up_pad <= 2e13
+            ):
+                # precompute per-case DENSE-remapped stats ids on the
+                # host (dual/sentinel cases -> out-of-range) so the
+                # device kernel needs no per-case id gather at all
+                smap = np.full(F + 1, np.int32(1 << 30), np.int32)
+                smap[dense_feats] = np.arange(
+                    len(dense_feats), dtype=np.int32
+                )
+                stats_map = jnp.asarray(
+                    smap[np.asarray(up_col).reshape(-1)].reshape(-1, 8192)
+                )
             dev_layouts.append(
                 DevLayout(
                     features=jnp.asarray(lay.features),
                     groups=jnp.asarray(lay.groups),
-                    buckets=[
+                    # with case-major stats the slot stats buckets are
+                    # never read (update goes through up_col too) — drop
+                    # them to save their HBM
+                    buckets=[] if stats_map is not None else [
                         _put_bucket(
                             b, dense_map[b.seg_feat], 0,
                             pad_sf2=max(len(dense_feats) - 1, 0),
@@ -470,6 +506,7 @@ class MCMCVectorLearner(MCMCLearner):
                     F=F,
                     F_dense=len(dense_feats),
                     up_col=up_col,
+                    stats_map=stats_map,
                     up_val=up_val,
                 )
             )
@@ -758,6 +795,123 @@ class MCMCVectorLearner(MCMCLearner):
                 if not use_linear:
                     h = h.at[..., 0].set(0.0)
                 return e_slot, qp, h
+
+            if (
+                lay.stats_map is not None
+                and "stats" not in self._skip_phases
+            ):
+                # Case-major stats: contiguous A chunk reads + ONE
+                # one-hot MXU matmul per chunk instead of per-slot A-row
+                # gathers. The accumulated rows are per-case MOMENTS
+                # that do not involve v_j — with hq = x(Q - x v_j):
+                #   hq oxo hq = x^2 Q oxo Q - x^3 (v oxo Q + Q oxo v)
+                #               + x^4 v oxo v
+                #   hq . a    = x^2 Q - x^3 v          (a = x)
+                #   hq . e    = x e Q - x^2 e v
+                # so accumulating [x^2 Q oxo Q | x^2 Q | x^3 Q | x e Q |
+                # x^2, x^3, x^4, x e, x^2 e] per dense feature suffices,
+                # and the blocked statistic is reconstructed per feature
+                # AFTER the scan (O(Fd k^2) elementwise) — no per-case
+                # v-gather or id-gather in the hot loop. Dual / sentinel
+                # / padding cases map out of the one-hot range and
+                # contribute exactly 0.
+                CUS = 8192
+                up2 = lay.up_col.reshape(-1, CUS)
+                upv2 = (
+                    None if lay.up_val is None
+                    else lay.up_val.reshape(-1, CUS)
+                )
+                iotaF = jnp.arange(Fd_pad, dtype=jnp.int32)
+                MW = k * k + 3 * k + 5
+                MOM = jnp.zeros((Fd_pad, MW), f)
+                if tp:
+                    MOM = jax.lax.with_sharding_constraint(MOM, sh_model2)
+
+                def stats_case_chunk(MOM, inp):
+                    if upv2 is None:
+                        ci, sid = inp
+                        xv = None  # one-hot: x = 1 for every real case
+                    else:
+                        ci, sid, xv = inp
+                    A_chunk = jax.lax.dynamic_slice(
+                        A, (ci * CUS, 0), (CUS, 1 + k)
+                    )
+                    e_c = A_chunk[:, 0]
+                    Q_c = A_chunk[:, 1:]
+                    if xv is None:
+                        x2 = x3 = x4 = jnp.ones((CUS,), f)
+                        Q2, Q3 = Q_c, Q_c
+                    else:
+                        x2 = xv * xv
+                        x3 = x2 * xv
+                        x4 = x2 * x2
+                        Q2 = x2[:, None] * Q_c
+                        Q3 = x3[:, None] * Q_c
+                    QQ = (Q2[:, :, None] * Q_c[:, None, :]).reshape(
+                        CUS, k * k
+                    )
+                    xe = (xv if xv is not None else 1.0) * e_c
+                    rows = jnp.concatenate(
+                        [
+                            QQ, Q2, Q3, xe[:, None] * Q_c,
+                            x2[:, None], x3[:, None], x4[:, None],
+                            xe[:, None], (x2 * e_c)[:, None],
+                        ],
+                        axis=-1,
+                    )
+                    onehot = (
+                        sid[:, None] == iotaF[None, :]
+                    ).astype(f)
+                    MOM = MOM + jnp.einsum(
+                        "cf,cs->fs", onehot, rows,
+                        preferred_element_type=jnp.float32,
+                    ).astype(f)
+                    return MOM, None
+
+                iot = jnp.arange(up2.shape[0], dtype=jnp.int32)
+                MOM, _ = jax.lax.scan(
+                    stats_case_chunk, MOM,
+                    (iot, lay.stats_map)
+                    if upv2 is None
+                    else (iot, lay.stats_map, upv2),
+                )
+                # reconstruct the blocked statistic per dense feature
+                vpadded = jnp.zeros((Fd_pad, k), f)
+                vpadded = vpadded.at[: lay.F_dense].set(
+                    theta_old[lay.dense_feats][:, 1:],
+                    unique_indices=True,
+                )
+                M2 = MOM[:, : k * k]
+                S2 = MOM[:, k * k : k * k + k]
+                S3 = MOM[:, k * k + k : k * k + 2 * k]
+                SQe = MOM[:, k * k + 2 * k : k * k + 3 * k]
+                m2 = MOM[:, -5]
+                m3 = MOM[:, -4]
+                m4 = MOM[:, -3]
+                mxe = MOM[:, -2]
+                m2e = MOM[:, -1]
+                vS3 = (
+                    vpadded[:, :, None] * S3[:, None, :]
+                ).reshape(Fd_pad, k * k)
+                S3v = (
+                    S3[:, :, None] * vpadded[:, None, :]
+                ).reshape(Fd_pad, k * k)
+                vv = (
+                    vpadded[:, :, None] * vpadded[:, None, :]
+                ).reshape(Fd_pad, k * k)
+                Qq_r = M2 - vS3 - S3v + m4[:, None] * vv
+                qe_r = SQe - m2e[:, None] * vpadded
+                if use_linear:
+                    qa_r = S2 - m3[:, None] * vpadded
+                    aa_r = m2[:, None]
+                    ae_r = mxe[:, None]
+                else:
+                    qa_r = jnp.zeros_like(vpadded)
+                    aa_r = jnp.zeros((Fd_pad, 1), f)
+                    ae_r = jnp.zeros((Fd_pad, 1), f)
+                GG = GG + jnp.concatenate(
+                    [Qq_r, qa_r, qe_r, aa_r, ae_r], axis=-1
+                )
 
             for b in (lay.buckets if "stats" not in self._skip_phases else []):
                 def stats_chunk(GG, inp):
