@@ -181,6 +181,10 @@ class MCMCVectorLearner(MCMCLearner):
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
         self._skip_phases = frozenset()
+        # case-major moment stats for small-F dense blocks (BENCHNOTES
+        # "Case-major moment stats"); off -> always use the slot path
+        # (same statistic, different summation order — parity-tested)
+        self.case_major_stats = True
         # dense-draw scan chunk (features per batched-Cholesky step)
         self._fc_chunk = 1024
 
@@ -470,7 +474,8 @@ class MCMCVectorLearner(MCMCLearner):
             # big-F or huge-k blocks (ML-10M, config #5) keep the slot
             # path, whose cost scales with nnz not Fd x nc
             if (
-                up_col is not None
+                self.case_major_stats
+                and up_col is not None
                 and _Fd * _MW <= 8_000_000
                 and float(_Fd) * _MW * nc_up_pad <= 2e13
             ):

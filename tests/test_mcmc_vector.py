@@ -243,3 +243,27 @@ def test_refresh_cadence_matches_every_iteration(ml_small):
     got_tr = [h["train"] for h in b.history]
     want_tr = [h["train"] for h in a.history]
     assert np.allclose(got_tr, want_tr, atol=5e-3), (got_tr, want_tr)
+
+
+def test_case_major_stats_matches_slot_path():
+    """The case-major moment-matmul stats and the slot-gather stats
+    compute the same statistic (different summation order) — same RNG
+    stream, near-identical trajectories."""
+    from libfm_tpu.data.synth import ctr_like
+
+    train, test, groups = ctr_like(
+        num_fields=5, field_cardinality=200, num_examples=15000, seed=4
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    res = {}
+    for flag in (True, False):
+        l = MCMCVectorLearner(
+            cfg, task=TASK_CLASSIFICATION, num_iter=6, seed=3,
+            verbose=False, attr_group=groups,
+        )
+        l.case_major_stats = flag
+        l.learn(train, test)
+        res[flag] = l.history[-1]
+    assert abs(res[True]["test_all"] - res[False]["test_all"]) < 5e-3
+    assert abs(res[True]["train"] - res[False]["train"]) < 5e-3
+    assert res[True]["rejected"] == res[False]["rejected"] == 0
