@@ -105,8 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
         default="vector",
         choices=["vector", "exact"],
         help="MCMC/ALS sweep engine: 'vector' = joint (w_j,v_j) draws, the "
-        "TPU fast path (default); 'exact' = the reference's per-coordinate "
-        "scan order (relational data always uses 'exact')",
+        "TPU fast path (default; thin relational joins are materialised and "
+        "swept flat, fat blocks fall back to the exact BS algebra); "
+        "'exact' = the reference's per-coordinate scan order",
     )
     return p
 
@@ -457,9 +458,11 @@ def main(argv=None) -> int:
             print("Loading train...")
             train = Dataset.load(args.train)
             stream_train = None
-        if args.engine == "vector" and (
-            train is None or not train.relations
-        ):
+        if args.engine == "vector":
+            # relational (BS) data is handled inside the vector learner:
+            # thin joins are expanded to a flat design matrix and swept
+            # by the joint-draw engine; fat blocks fall back to the
+            # exact BS cache algorithm (mcmc_vector.py learn()).
             from libfm_tpu.learners.mcmc_vector import (
                 MCMCVectorLearner as MCMCLearner,
             )

@@ -90,3 +90,57 @@ class RelationJoin:
 
     def permuted(self, perm) -> "RelationJoin":
         return RelationJoin(self.data, self.row_map[perm])
+
+
+def expand_join(ds) -> "Dataset":
+    """Materialise the relational join of `ds` into a flat Dataset.
+
+    Produces the design matrix the reference logically trains on
+    (/root/reference/src/libfm/libfm.cpp:199-243 joins attribute spaces;
+    the BS caches of fm_learn_mcmc.h only avoid materialising it): each
+    case's row = its main-table entries followed by, per relation, the
+    entries of its joined block row shifted by `attr_offset`. Targets
+    and attribute groups are unchanged, so training on the expansion is
+    statistically identical to the BS algorithm.
+    """
+    from libfm_tpu.data.dataset import Dataset
+
+    cases, cols, vals = [ds.row_of_entry], [ds.cols], [ds.vals]
+    nf = ds.num_features
+    nc = ds.num_rows
+    for join in ds.relations:
+        rd = join.data
+        rmap = join.row_map.astype(np.int64)
+        lens = np.diff(rd.indptr).astype(np.int64)[rmap]
+        total = int(lens.sum())
+        starts = rd.indptr[rmap].astype(np.int64)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        idx = np.repeat(starts, lens) + off
+        cases.append(np.repeat(np.arange(nc, dtype=np.int32), lens))
+        cols.append(rd.cols[idx].astype(np.int32) + rd.attr_offset)
+        vals.append(rd.vals[idx])
+        nf = max(nf, rd.attr_offset + rd.num_features)
+    case = np.concatenate(cases)
+    order = np.argsort(case, kind="stable")  # main first, then relations
+    case = case[order]
+    cols_f = np.concatenate(cols)[order]
+    vals_f = np.concatenate(vals)[order].astype(np.float32)
+    counts = np.bincount(case, minlength=nc).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return Dataset(indptr, cols_f, vals_f, ds.target, nf)
+
+
+def expansion_cost(ds) -> tuple[int, int]:
+    """(expanded_nnz, bs_nnz): the entry counts of the materialised join
+    vs the BS representation (main + blocks + one join id per relation
+    per case). The BS algorithm pays off when the ratio is large."""
+    exp = int(ds.nnz)
+    base = int(ds.nnz)
+    for join in ds.relations:
+        rd = join.data
+        lens = np.diff(rd.indptr).astype(np.int64)
+        exp += int(lens[join.row_map].sum())
+        base += int(rd.nnz) + ds.num_rows
+    return exp, base

@@ -261,8 +261,34 @@ class MCMCVectorLearner(MCMCLearner):
         """train: a Dataset, or a StreamingDataset (binary .x/.y with the
         transposed .xt alongside) for a bounded-host-RSS layout build."""
         if getattr(train, "relations", None):
-            # block-structure data stays on the exact engine
-            return self._learn_relational(train, test)
+            # Block-structure (BS) data: when the materialised join is
+            # about as large as the BS representation itself (one-hot /
+            # thin relation blocks — the recommender case), expand it
+            # and run this engine's vector sweeps on the flat view —
+            # statistically identical, and the batched joint draws beat
+            # the per-factor BS cache algorithm by ~an order of
+            # magnitude on TPU (BENCHNOTES "Relational (BS)"). Fat
+            # blocks, where the reference's dedup algebra genuinely
+            # pays (VLDB'13), stay on the exact BS engine.
+            from libfm_tpu.data.relation import expand_join, expansion_cost
+
+            exp_nnz, bs_nnz = expansion_cost(train)
+            exp_nnz_te, bs_nnz_te = expansion_cost(test)
+            if (
+                exp_nnz + exp_nnz_te <= 200_000_000
+                and exp_nnz + exp_nnz_te <= 4 * (bs_nnz + bs_nnz_te)
+            ):
+                self.relational_mode = "expanded"
+                if self.verbose:
+                    print(
+                        f"BS join expanded: {exp_nnz + exp_nnz_te} entries "
+                        f"(BS form {bs_nnz + bs_nnz_te}); vector sweeps"
+                    )
+                train = expand_join(train)
+                test = expand_join(test)
+            else:
+                self.relational_mode = "bs"
+                return self._learn_relational(train, test)
         cfg = self.cfg
         f = self.dtype
         n, k = cfg.num_features, cfg.num_factors

@@ -157,3 +157,73 @@ def test_relational_mcmc_runs():
     preds = m.predict(test)
     assert preds.shape == (test.num_rows,)
     assert np.isfinite(preds).all()
+
+
+# ---------------------------------------------------------------- expansion
+# The vector engine's relational fast path: thin joins are materialised
+# (data/relation.py expand_join) and swept flat; fat blocks fall back to
+# the exact BS algebra. Reference semantics anchor:
+# /root/reference/src/libfm/src/fm_learn_mcmc.h:734-790 (BS caches compute
+# exactly what a sweep over the materialised join computes).
+
+
+def test_expand_join_matches_manual_join():
+    train, test, jtrain, jtest, n_feat = make_relational_problem()
+    from libfm_tpu.data.relation import expand_join, expansion_cost
+
+    for bs, j in ((train, jtrain), (test, jtest)):
+        e = expand_join(bs)
+        assert e.num_features == j.num_features
+        assert np.array_equal(e.indptr, j.indptr)
+        assert np.array_equal(e.cols, j.cols)
+        assert np.array_equal(e.vals, j.vals)
+        assert np.array_equal(e.target, j.target)
+    exp, base = expansion_cost(train)
+    assert exp == jtrain.nnz
+    assert base == train.nnz + sum(
+        j.data.nnz for j in train.relations
+    ) + len(train.relations) * train.num_rows
+
+
+def test_vector_relational_expansion_identical_to_flat():
+    """Same seed, BS input vs pre-joined input: the expansion path must
+    produce the exact same chain (it IS the flat path after expansion)."""
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    train, test, jtrain, jtest, n_feat = make_relational_problem()
+    cfg = FMConfig(num_features=n_feat, num_factors=4)
+
+    a = MCMCVectorLearner(cfg, num_iter=6, seed=5, verbose=False)
+    a.learn(train, test)
+    assert a.relational_mode == "expanded"
+    b = MCMCVectorLearner(cfg, num_iter=6, seed=5, verbose=False)
+    b.learn(jtrain, jtest)
+    for ra, rb in zip(a.history, b.history):
+        assert ra["test_all"] == rb["test_all"], (ra, rb)
+
+
+def test_vector_relational_fat_block_fallback():
+    """Blocks where the materialised join dwarfs the BS form must stay on
+    the exact BS engine (the case the VLDB'13 algebra exists for)."""
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    rng = np.random.default_rng(2)
+    nb, width, nc = 6, 200, 500
+    indptr = np.arange(0, nb * width + 1, width, dtype=np.int64)
+    cols = np.tile(np.arange(width, dtype=np.int32), nb)
+    vals = rng.standard_normal(nb * width).astype(np.float32)
+    rd = RelationData(indptr, cols, vals, width)
+    rd.attr_offset = 0
+    rows = rng.integers(0, nb, nc).astype(np.int32)
+    y = rng.standard_normal(nc).astype(np.float32)
+    ds = Dataset(
+        np.zeros(nc + 1, dtype=np.int64), np.empty(0, np.int32),
+        np.empty(0, np.float32), y, 0,
+    )
+    ds.relations = [RelationJoin(rd, rows)]
+
+    cfg = FMConfig(num_features=width, num_factors=2)
+    m = MCMCVectorLearner(cfg, num_iter=3, seed=1, verbose=False)
+    m.learn(ds, ds)
+    assert m.relational_mode == "bs"
+    assert np.isfinite(m.history[-1]["test_all"])
