@@ -1109,10 +1109,11 @@ class MCMCLearner:
         from libfm_tpu.data.batching import batch_dataset
 
         if ds.relations:
-            raise ValueError(
-                "predict_new does not join relational blocks; "
-                "pass the joined design matrix"
-            )
+            # one forward pass over the materialised join; fine for
+            # prediction even when TRAINING on the expansion would not be
+            from libfm_tpu.data.relation import expand_join
+
+            ds = expand_join(ds)
         if ds.num_features > self.cfg.num_features:
             # JAX gathers CLAMP out-of-bounds ids (they would silently
             # score with the LAST feature's weights)

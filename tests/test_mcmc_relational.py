@@ -227,3 +227,17 @@ def test_vector_relational_fat_block_fallback():
     m.learn(ds, ds)
     assert m.relational_mode == "bs"
     assert np.isfinite(m.history[-1]["test_all"])
+
+
+def test_predict_new_joins_relations():
+    """predict_new on BS data materialises the join; for ALS the final
+    params ARE what produced pred_this, so it must match predict()."""
+    train, test, jtrain, jtest, n_feat = make_relational_problem()
+    cfg = FMConfig(num_features=n_feat, num_factors=4, regw=0.5, regv=0.5)
+    l = ALSLearner(cfg, num_iter=10, seed=2, verbose=False)
+    l.learn(train, test)
+    p_learn = l.predict(test)
+    p_new = l.predict_new(test)
+    assert np.allclose(p_learn, p_new, atol=5e-3), (
+        np.abs(p_learn - p_new).max()
+    )
