@@ -69,6 +69,31 @@ def neg_log10_likelihood(p, target, mask=None):
     return -(ll * mm).sum() / jnp.maximum(mm.sum(), 1.0)
 
 
+def required_features(ds) -> int:
+    """Highest feature count `ds` addresses, including relational blocks
+    in the joined attribute space (attr_offset + block features,
+    /root/reference/src/libfm/libfm.cpp:199-243)."""
+    n = int(ds.num_features)
+    for join in getattr(ds, "relations", None) or ():
+        rd = join.data
+        n = max(n, int(rd.attr_offset) + int(rd.num_features))
+    return n
+
+
+def check_num_features(cfg, *datasets) -> None:
+    """Fail fast with a clear message when the model's parameter table is
+    smaller than the data's feature space (otherwise the layout build
+    dies with a bare IndexError, or device gathers would clamp ids)."""
+    need = max(required_features(d) for d in datasets if d is not None)
+    if cfg.num_features < need:
+        raise ValueError(
+            f"FMConfig.num_features={cfg.num_features} but the data "
+            f"addresses {need} features (joined attribute space); size "
+            "the model to the max feature count over train/test/validation "
+            "(the CLI does this automatically, libfm.cpp:199-243)"
+        )
+
+
 def link_prediction(score, task: int, min_target, max_target):
     """Final-prediction link: clamp for regression, sigmoid for
     classification (/root/reference/src/libfm/src/fm_learn_sgd.h:76-90)."""

@@ -516,6 +516,9 @@ class MCMCLearner:
 
     # --------------------------------------------------------------- learn
     def learn(self, train: Dataset, test: Dataset):
+        from libfm_tpu.learners import base
+
+        base.check_num_features(self.cfg, train, test)
         if train.relations:
             return self._learn_relational(train, test)
         cfg = self.cfg

@@ -260,6 +260,9 @@ class MCMCVectorLearner(MCMCLearner):
     def learn(self, train, test: Dataset):
         """train: a Dataset, or a StreamingDataset (binary .x/.y with the
         transposed .xt alongside) for a bounded-host-RSS layout build."""
+        from libfm_tpu.learners import base as _base
+
+        _base.check_num_features(self.cfg, train, test)
         if getattr(train, "relations", None):
             # Block-structure (BS) data: when the materialised join is
             # about as large as the BS representation itself (one-hot /

@@ -247,6 +247,7 @@ class SGDLearner:
             raise ValueError(
                 "relations are not supported with SGD"
             )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
+        base.check_num_features(self.cfg, train, test)
         if self.params is None:
             self.init_params()
         self.min_target = train.min_target
@@ -303,6 +304,7 @@ class SGDLearner:
         via a warning with drop counts."""
         if max_nnz is None:
             max_nnz = max(stream.max_row_nnz(), 1)
+        base.check_num_features(self.cfg, stream, test)
         if self.params is None:
             self.init_params()
         self.min_target = stream.min_target

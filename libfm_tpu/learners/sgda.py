@@ -65,6 +65,9 @@ class SGDALearner(SGDLearner):
             )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
         if validation is None:
             raise ValueError("SGDA requires a validation set")
+        from libfm_tpu.learners import base
+
+        base.check_num_features(self.cfg, train, test, validation)
         if self.params is None:
             self.init_params()
         # reference resets w and regs at learn() start (adapt_reg.h:281-289)

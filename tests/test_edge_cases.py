@@ -137,3 +137,18 @@ def test_block_overflow_stacked_scan_trains():
     l2 = MCMCLearner(cfg, num_iter=15, seed=1, verbose=False)
     hist2 = l2.learn(train, train)
     assert abs(hist[-1]["test_all"] - hist2[-1]["test_all"]) < 0.25
+
+
+def test_undersized_model_rejected_with_clear_error():
+    """A model smaller than the data's feature space must fail fast with
+    a ValueError naming both sizes (previously a bare IndexError from
+    deep inside the layout build)."""
+    train, test = movielens_like(num_users=20, num_items=15, num_ratings=200, seed=0)
+    small = FMConfig(num_features=10, num_factors=4)
+    for learner in (
+        MCMCVectorLearner(small, num_iter=1, seed=0, verbose=False),
+        MCMCLearner(small, num_iter=1, seed=0, verbose=False),
+        SGDLearner(small, num_iter=1, seed=0, verbose=False),
+    ):
+        with pytest.raises(ValueError, match="num_features=10 .* 35 features"):
+            learner.learn(train, test)
