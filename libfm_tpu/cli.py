@@ -106,8 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["vector", "exact"],
         help="MCMC/ALS sweep engine: 'vector' = joint (w_j,v_j) draws, the "
         "TPU fast path (default; thin relational joins are materialised and "
-        "swept flat, fat blocks fall back to the exact BS algebra); "
-        "'exact' = the reference's per-coordinate scan order",
+        "swept flat, fat blocks use the BS vector engine's block-row cache "
+        "algebra); 'exact' = the reference's per-coordinate scan order "
+        "(relational data uses the per-factor VLDB'13 cache dance)",
     )
     return p
 

@@ -181,6 +181,12 @@ class MCMCVectorLearner(MCMCLearner):
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
         self._skip_phases = frozenset()
+        # relational (BS) routing knobs: joins whose materialisation is
+        # <= expand_max_ratio x the BS form run flat on the expansion;
+        # fatter joins use the BS vector engine (mcmc_rel_vector.py)
+        # unless bs_vector=False (exact per-factor BS engine instead)
+        self.expand_max_ratio = 8.0
+        self.bs_vector = True
         # case-major moment stats for small-F dense blocks (BENCHNOTES
         # "Case-major moment stats"); off -> always use the slot path
         # (same statistic, different summation order — parity-tested)
@@ -283,7 +289,8 @@ class MCMCVectorLearner(MCMCLearner):
             # leaves margin for shapes where the BS engine fares better
             if (
                 exp_nnz + exp_nnz_te <= 200_000_000
-                and exp_nnz + exp_nnz_te <= 8 * (bs_nnz + bs_nnz_te)
+                and exp_nnz + exp_nnz_te
+                <= self.expand_max_ratio * (bs_nnz + bs_nnz_te)
             ):
                 self.relational_mode = "expanded"
                 if self.verbose:
@@ -294,6 +301,25 @@ class MCMCVectorLearner(MCMCLearner):
                 train = expand_join(train)
                 test = expand_join(test)
             else:
+                # FAT blocks: the BS vector engine keeps the VLDB'13
+                # dedup (per-feature cost O(nnz(block))) while drawing
+                # joint (w_j, v_j) vectors from per-block-row caches
+                # (learners/mcmc_rel_vector.py). The exact per-factor BS
+                # engine remains the fallback for meshes (BS sharding is
+                # not wired) and heavily skewed joins (its cache build
+                # pads per-block-row case lists to the row maximum).
+                from libfm_tpu.learners.mcmc_rel_vector import (
+                    bs_vector_skew,
+                    learn_relational_vector,
+                )
+
+                if (
+                    self.bs_vector
+                    and self.mesh is None
+                    and bs_vector_skew(train) <= 16.0
+                ):
+                    self.relational_mode = "bs_vector"
+                    return learn_relational_vector(self, train, test)
                 self.relational_mode = "bs"
                 return self._learn_relational(train, test)
         cfg = self.cfg

@@ -1,0 +1,224 @@
+"""BS vector engine (learners/mcmc_rel_vector.py) tests.
+
+The engine's defining identity: its per-block-row cache algebra must
+produce EXACTLY the sweeps the flat vector engine runs on the
+materialised join (the same identity the reference's relational caches
+implement, /root/reference/src/libfm/src/fm_learn_mcmc.h:734-790,
+849-909). With ALS (deterministic draws) and an identical conflict-free
+partition, the two trajectories agree to float tolerance even though the
+computational paths share nothing: one sweeps per-case slots over the
+expansion, the other never materialises a single expanded row.
+"""
+
+import numpy as np
+import pytest
+
+from libfm_tpu.data.dataset import Dataset
+from libfm_tpu.data.relation import RelationData, RelationJoin
+from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+from libfm_tpu.models.fm import FMConfig
+from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+from test_mcmc_relational import make_relational_problem
+
+
+def _force_bs_vector(learner):
+    learner.expand_max_ratio = 0.0  # every join counts as fat
+    return learner
+
+
+def test_bs_vector_als_matches_flat_on_join():
+    """ALS: BS-vector trajectory == flat vector engine on the
+    materialised join (deterministic draws, identical conflict-free
+    partition for one-hot blocks)."""
+    train, test, jtrain, jtest, n_feat = make_relational_problem()
+    cfg = FMConfig(num_features=n_feat, num_factors=4, regw=0.5, regv=0.5)
+
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=10, seed=7, verbose=False,
+                          do_sample=False, do_multilevel=False)
+    )
+    ha = a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+
+    b = MCMCVectorLearner(cfg, num_iter=10, seed=7, verbose=False,
+                          do_sample=False, do_multilevel=False)
+    hb = b.learn(jtrain, jtest)
+
+    for ra, rb in zip(ha, hb):
+        assert abs(ra["test_this"] - rb["test_this"]) < 1e-5, (ra, rb)
+        assert abs(ra["train"] - rb["train"]) < 1e-5, (ra, rb)
+
+
+def _general_bs_problem(seed=3, nb1=12, w1=5, m1_card=6, nb2=7, w2=3,
+                        m2_card=5, n_main=6, n_cases=300):
+    """Two non-one-hot relations (real-valued blocks, multi-entry
+    feature columns, MULTIPLE conflict-free blocks per relation — the
+    within-sweep (s, dQB) corrections are load-bearing) plus a one-hot
+    main-table field. Features are position-structured (feature i*m + c
+    only ever at within-row position i) so the expanded engine derives
+    the SAME conflict-free partition and trajectories align exactly."""
+    rng = np.random.default_rng(seed)
+
+    def block(nb, w, m):
+        # row b entry i: feature i*m + c_bi, value ~ N(0,1)
+        c = rng.integers(0, m, (nb, w))
+        cols = (np.arange(w)[None, :] * m + c).astype(np.int32)
+        vals = rng.standard_normal((nb, w)).astype(np.float32)
+        indptr = np.arange(nb + 1, dtype=np.int64) * w
+        return RelationData(indptr, cols.ravel(), vals.ravel(), w * m)
+
+    nf1, nf2 = w1 * m1_card, w2 * m2_card
+
+    rd1, rd2 = block(nb1, w1, m1_card), block(nb2, w2, m2_card)
+    rd1.attr_offset = n_main
+    rd2.attr_offset = n_main + nf1
+    n_feat = n_main + nf1 + nf2
+
+    m1 = rng.integers(0, nb1, n_cases).astype(np.int32)
+    m2 = rng.integers(0, nb2, n_cases).astype(np.int32)
+    main = rng.integers(0, n_main, n_cases).astype(np.int32)
+    y = (
+        0.3 * rng.standard_normal(nb1)[m1]
+        + 0.3 * rng.standard_normal(nb2)[m2]
+        + 0.5 * rng.standard_normal(n_main)[main]
+        + 0.1 * rng.standard_normal(n_cases)
+    ).astype(np.float32)
+
+    split = n_cases // 4
+
+    def build(sl):
+        nc = len(y[sl])
+        ds = Dataset(
+            np.arange(nc + 1, dtype=np.int64),
+            main[sl].astype(np.int32),
+            np.ones(nc, np.float32),
+            y[sl],
+            n_main,
+        )
+        ds.relations = [
+            RelationJoin(rd1, m1[sl]),
+            RelationJoin(rd2, m2[sl]),
+        ]
+        return ds
+
+    return build(slice(split, None)), build(slice(None, split)), n_feat
+
+
+def test_bs_vector_general_blocks_match_expansion():
+    """Real-valued fat-ish blocks + main-table features + two relations:
+    BS-vector ALS == flat ALS on the expansion (via the engine's own
+    expand path), same seed."""
+    from libfm_tpu.data.relation import expand_join
+
+    train, test, n_feat = _general_bs_problem()
+    cfg = FMConfig(num_features=n_feat, num_factors=3, regw=0.3, regv=0.3)
+
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=8, seed=11, verbose=False,
+                          do_sample=False, do_multilevel=False)
+    )
+    ha = a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+
+    b = MCMCVectorLearner(cfg, num_iter=8, seed=11, verbose=False,
+                          do_sample=False, do_multilevel=False)
+    hb = b.learn(expand_join(train), expand_join(test))
+
+    for ra, rb in zip(ha, hb):
+        assert abs(ra["test_this"] - rb["test_this"]) < 2e-4, (ra, rb)
+
+    preds = a.predict(test)
+    assert preds.shape == (test.num_rows,)
+    assert np.isfinite(preds).all()
+
+
+def test_bs_vector_mcmc_converges_like_exact():
+    """Full MCMC (sampled draws, multilevel hyperpriors): the BS vector
+    chain and the exact per-factor BS chain land in the same band."""
+    from libfm_tpu.learners.mcmc import MCMCLearner
+
+    train, test, _, _, n_feat = make_relational_problem(n_cases=600)
+    cfg = FMConfig(num_features=n_feat, num_factors=4)
+
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=25, seed=5, verbose=False)
+    )
+    ha = a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+    assert ha[-1]["rejected"] == 0
+
+    b = MCMCLearner(cfg, num_iter=25, seed=9, verbose=False)
+    hb = b.learn(train, test)
+    assert abs(ha[-1]["test_all"] - hb[-1]["test_all"]) < 0.12, (
+        ha[-1]["test_all"], hb[-1]["test_all"],
+    )
+
+
+def test_bs_vector_classification_matches_expansion_band():
+    from libfm_tpu.data.relation import expand_join
+
+    rng = np.random.default_rng(4)
+    train, test, n_feat = _general_bs_problem(seed=8, n_cases=400)
+    for ds in (train, test):
+        ds.target = np.where(ds.target > 0, 1.0, -1.0).astype(np.float32)
+        ds.min_target, ds.max_target = -1.0, 1.0
+
+    cfg = FMConfig(num_features=n_feat, num_factors=3)
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, task=TASK_CLASSIFICATION, num_iter=15,
+                          seed=2, verbose=False)
+    )
+    ha = a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+
+    b = MCMCVectorLearner(cfg, task=TASK_CLASSIFICATION, num_iter=15,
+                          seed=6, verbose=False)
+    hb = b.learn(expand_join(train), expand_join(test))
+    assert abs(ha[-1]["test_all"] - hb[-1]["test_all"]) < 0.1, (
+        ha[-1]["test_all"], hb[-1]["test_all"],
+    )
+    assert np.isfinite(ha[-1]["auc_all"])
+
+
+def test_bs_vector_skew_fallback():
+    """A join where one block row absorbs nearly all cases (and the
+    relation has many rows) must fall back to the exact BS engine — the
+    vector engine's cache build pads per-row case lists to the max."""
+    rng = np.random.default_rng(1)
+    nb, nc, w = 400, 500, 40
+    cols = np.stack([
+        np.sort(rng.choice(1000, w, replace=False)) for _ in range(nb)
+    ]).astype(np.int32)
+    rd = RelationData(
+        np.arange(nb + 1, dtype=np.int64) * w, cols.ravel(),
+        rng.standard_normal(nb * w).astype(np.float32), 1000,
+    )
+    rd.attr_offset = 0
+    rmap = np.zeros(nc, np.int32)  # everything joins row 0
+    rmap[:nb] = np.arange(nb)
+    y = rng.standard_normal(nc).astype(np.float32)
+    ds = Dataset(
+        np.zeros(nc + 1, np.int64), np.empty(0, np.int32),
+        np.empty(0, np.float32), y, 0,
+    )
+    ds.relations = [RelationJoin(rd, rmap)]
+
+    from libfm_tpu.learners.mcmc_rel_vector import bs_vector_skew
+
+    assert bs_vector_skew(ds) > 16.0
+    cfg = FMConfig(num_features=1000, num_factors=2)
+    m = _force_bs_vector(MCMCVectorLearner(cfg, num_iter=2, seed=1,
+                                           verbose=False))
+    m.learn(ds, ds)
+    assert m.relational_mode == "bs"
+
+
+def test_bs_vector_disable_flag_uses_exact_engine():
+    train, test, _, _, n_feat = make_relational_problem(n_cases=200)
+    cfg = FMConfig(num_features=n_feat, num_factors=2)
+    m = _force_bs_vector(MCMCVectorLearner(cfg, num_iter=2, seed=1,
+                                           verbose=False))
+    m.bs_vector = False
+    m.learn(train, test)
+    assert m.relational_mode == "bs"

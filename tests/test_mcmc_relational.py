@@ -203,8 +203,12 @@ def test_vector_relational_expansion_identical_to_flat():
 
 
 def test_vector_relational_fat_block_fallback():
-    """Blocks where the materialised join dwarfs the BS form must stay on
-    the exact BS engine (the case the VLDB'13 algebra exists for)."""
+    """Blocks where the materialised join dwarfs the BS form must stay in
+    BS form (the case the VLDB'13 algebra exists for): the BS vector
+    engine by default, the exact per-factor engine when disabled. The
+    fixture's every-feature-in-every-row block also stresses the BS
+    vector engine's singleton-block stacked scan (200 one-feature
+    blocks under one lax.scan)."""
     from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
 
     rng = np.random.default_rng(2)
@@ -225,8 +229,14 @@ def test_vector_relational_fat_block_fallback():
     cfg = FMConfig(num_features=width, num_factors=2)
     m = MCMCVectorLearner(cfg, num_iter=3, seed=1, verbose=False)
     m.learn(ds, ds)
-    assert m.relational_mode == "bs"
+    assert m.relational_mode == "bs_vector"
     assert np.isfinite(m.history[-1]["test_all"])
+
+    m2 = MCMCVectorLearner(cfg, num_iter=3, seed=1, verbose=False)
+    m2.bs_vector = False
+    m2.learn(ds, ds)
+    assert m2.relational_mode == "bs"
+    assert np.isfinite(m2.history[-1]["test_all"])
 
 
 def test_predict_new_joins_relations():
