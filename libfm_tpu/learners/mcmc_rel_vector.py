@@ -776,6 +776,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 zs = jax.random.normal(kz, (nblk, F_pad, d), dtype=f)
             else:
                 zs = jnp.zeros((nblk, F_pad, d), f)
+            MW = k * k + 3 * k + 5
+            # entry chunking bounds the [EC, MW] moment temp (and the
+            # [EC, k, k] gathered-cache temps) at any k — both EC and
+            # E_pad are powers of two, so EC divides E_pad
+            EC = E_pad
+            while EC > 256 and EC * MW * 4 > (96 << 20):
+                EC >>= 1
 
             def block_step(carry, inp):
                 w, V, s, dQB, n_rej = carry
@@ -783,52 +790,64 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 theta_old = jnp.concatenate(
                     [w[feats][:, None], V[feats]], axis=1
                 )  # [F_pad, d]
-                v_old_e = theta_old[ef, 1:]  # [E, k]
 
-                # corrected caches gathered per entry
-                wn = wnum[eb]  # [E]
-                sb = s[eb]
-                dq = dQB[eb]  # [E, k]
-                SQ0_e = SQ0[eb]
-                we0_e = we0[eb]
-                SQe0_e = SQe0[eb]
-                SQQ0_e = SQQ0[eb]  # [E, k, k]
-                SQ_c = SQ0_e + wn[:, None] * dq
-                we_c = we0_e + wn * sb + (SQ0_e * dq).sum(-1)
-                SQe_c = (
-                    SQe0_e
-                    + sb[:, None] * SQ0_e
-                    + jnp.einsum("efg,eg->ef", SQQ0_e, dq)
-                    + dq * we_c[:, None]
-                )
-                SQQ_c = (
-                    SQQ0_e
-                    + jnp.einsum("ef,eg->efg", dq, SQ0_e)
-                    + jnp.einsum("ef,eg->efg", SQ0_e, dq)
-                    + wn[:, None, None] * jnp.einsum("ef,eg->efg", dq, dq)
-                )
+                def corrected(eb_c, ex_c):
+                    """Per-entry corrected caches for one entry chunk."""
+                    wn = wnum[eb_c]
+                    sb = s[eb_c]
+                    dq = dQB[eb_c]
+                    SQ0_e = SQ0[eb_c]
+                    we0_e = we0[eb_c]
+                    SQ_c = SQ0_e + wn[:, None] * dq
+                    we_c = we0_e + wn * sb + (SQ0_e * dq).sum(-1)
+                    SQe_c = (
+                        SQe0[eb_c]
+                        + sb[:, None] * SQ0_e
+                        + jnp.einsum("efg,eg->ef", SQQ0[eb_c], dq)
+                        + dq * we_c[:, None]
+                    )
+                    SQQ_c = (
+                        SQQ0[eb_c]
+                        + jnp.einsum("ef,eg->efg", dq, SQ0_e)
+                        + jnp.einsum("ef,eg->efg", SQ0_e, dq)
+                        + wn[:, None, None] * jnp.einsum("ef,eg->efg", dq, dq)
+                    )
+                    return wn, dq, SQ_c, we_c, SQe_c, SQQ_c
 
-                # per-feature moments (x-power weighted cache sums)
-                x2 = ex * ex
-                x3 = x2 * ex
-                x4 = x2 * x2
-                MW = k * k + 3 * k + 5
-                mom_rows = jnp.concatenate(
-                    [
-                        (x2[:, None, None] * SQQ_c).reshape(E_pad, k * k),
-                        x2[:, None] * SQ_c,
-                        x3[:, None] * SQ_c,
-                        ex[:, None] * SQe_c,
-                        (x2 * wn)[:, None],
-                        (x3 * wn)[:, None],
-                        (x4 * wn)[:, None],
-                        (ex * we_c)[:, None],
-                        (x2 * we_c)[:, None],
-                    ],
-                    axis=-1,
-                )  # [E, MW]
-                MOM = jnp.zeros((F_pad, MW), f).at[ef].add(
-                    mom_rows, indices_are_sorted=True
+                # per-feature moments (x-power weighted cache sums),
+                # accumulated per entry chunk
+                def mom_chunk(MOM, inp_c):
+                    eb_c, ex_c, ef_c = inp_c
+                    wn, _, SQ_c, we_c, SQe_c, SQQ_c = corrected(eb_c, ex_c)
+                    x2 = ex_c * ex_c
+                    x3 = x2 * ex_c
+                    x4 = x2 * x2
+                    mom_rows = jnp.concatenate(
+                        [
+                            (x2[:, None, None] * SQQ_c).reshape(EC, k * k),
+                            x2[:, None] * SQ_c,
+                            x3[:, None] * SQ_c,
+                            ex_c[:, None] * SQe_c,
+                            (x2 * wn)[:, None],
+                            (x3 * wn)[:, None],
+                            (x4 * wn)[:, None],
+                            (ex_c * we_c)[:, None],
+                            (x2 * we_c)[:, None],
+                        ],
+                        axis=-1,
+                    )  # [EC, MW]
+                    return MOM.at[ef_c].add(
+                        mom_rows, indices_are_sorted=True
+                    ), None
+
+                MOM, _ = jax.lax.scan(
+                    mom_chunk,
+                    jnp.zeros((F_pad, MW), f),
+                    (
+                        eb.reshape(-1, EC),
+                        ex.reshape(-1, EC),
+                        ef.reshape(-1, EC),
+                    ),
                 )
 
                 # reconstruct [Qq | qa | qe | aa | ae] (v_j-free identities,
@@ -874,20 +893,59 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 real = (feats < n)[:, None]
                 lam = jnp.where(real, lam, 1.0)
                 mu_pr = jnp.where(real, mu_pr, 0.0)
-                theta_new, rej = blocked_theta_draw(
-                    GG, theta_old, lam, mu_pr, z, alpha, k, do_sample
-                )
+                if F_pad <= 1024:
+                    theta_new, rej = blocked_theta_draw(
+                        GG, theta_old, lam, mu_pr, z, alpha, k, do_sample
+                    )
+                else:
+                    # feature-chunked draws bound the [FC, k, k] Cholesky
+                    # temps (F_pad is a power of two, so 1024 divides it)
+                    FC = 1024
+
+                    def draw_chunk(_, inp_c):
+                        th_c, r_c = blocked_theta_draw(
+                            *inp_c, alpha, k, do_sample
+                        )
+                        return None, (th_c, r_c)
+
+                    _, (th_ch, rej_ch) = jax.lax.scan(
+                        draw_chunk, None,
+                        tuple(
+                            x.reshape(-1, FC, x.shape[-1])
+                            for x in (GG, theta_old, lam, mu_pr, z)
+                        ),
+                    )
+                    theta_new = th_ch.reshape(F_pad, d)
+                    rej = rej_ch.sum()
                 delta = theta_new - theta_old
 
                 # per-row state updates (use dQB BEFORE adding this
-                # block's contribution); padded entries have x = 0
-                dw_e = delta[ef, 0]
-                dv_e = delta[ef, 1:]
-                ds = ex * (
-                    dw_e + (dv_e * (dq - ex[:, None] * v_old_e)).sum(-1)
+                # block's contribution); within a conflict-free block all
+                # real entries touch DISTINCT block rows, so chunked
+                # gathers never see a same-block update. Padded entries
+                # have x = 0 (zero contributions to row nb).
+                def upd_chunk(carry, inp_c):
+                    s, dQB = carry
+                    eb_c, ex_c, ef_c = inp_c
+                    dq = dQB[eb_c]
+                    dw_e = delta[ef_c, 0]
+                    dv_e = delta[ef_c, 1:]
+                    v_old_e = theta_old[ef_c, 1:]
+                    ds = ex_c * (
+                        dw_e + (dv_e * (dq - ex_c[:, None] * v_old_e)).sum(-1)
+                    )
+                    s = s.at[eb_c].add(ds)
+                    dQB = dQB.at[eb_c].add(ex_c[:, None] * dv_e)
+                    return (s, dQB), None
+
+                (s, dQB), _ = jax.lax.scan(
+                    upd_chunk, (s, dQB),
+                    (
+                        eb.reshape(-1, EC),
+                        ex.reshape(-1, EC),
+                        ef.reshape(-1, EC),
+                    ),
                 )
-                s = s.at[eb].add(ds)
-                dQB = dQB.at[eb].add(ex[:, None] * dv_e)
 
                 w = w.at[feats].set(theta_new[:, 0])
                 V = V.at[feats].set(theta_new[:, 1:])
