@@ -23,6 +23,80 @@ BASELINE_EXAMPLES_PER_S = 95_700.0  # reference libFM, 1 CPU core (BASELINE.md)
 BASELINE_CTR_EXAMPLES_PER_S = 187_000.0
 
 
+def bench_bs(args):
+    """Fat-block relational (BS) regression: 1M cases joined to one
+    4000-row x 16-entry gaussian block over 20K features, k=32 — the
+    regime the VLDB'13 dedup algebra exists for. Reference binary on
+    this shape: 0.39 s/iter (1 CPU core, rlog time_learn median)."""
+    import json
+    import time
+
+    import numpy as np
+
+    from libfm_tpu.data.dataset import Dataset
+    from libfm_tpu.data.relation import RelationData, RelationJoin
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+
+    rng = np.random.default_rng(7)
+    NB, W, NF = 4000, 16, 20000
+    NTR = min(args.ratings, 1_000_000)
+    NTE = NTR // 10
+    cols = np.stack(
+        [np.sort(rng.choice(NF, W, replace=False)) for _ in range(NB)]
+    ).astype(np.int32)
+    vals = rng.standard_normal((NB, W)).astype(np.float32)
+    rd = RelationData(
+        np.arange(NB + 1, dtype=np.int64) * W, cols.ravel(), vals.ravel(), NF
+    )
+    rd.attr_offset = 0
+    beta = rng.standard_normal(NF).astype(np.float32) * 0.1
+    score = (vals * beta[cols]).sum(axis=1)
+
+    def build(m, y):
+        nc = len(y)
+        ds = Dataset(
+            np.zeros(nc + 1, np.int64), np.empty(0, np.int32),
+            np.empty(0, np.float32), y, 0,
+        )
+        ds.relations = [RelationJoin(rd, m)]
+        return ds
+
+    mtr = rng.integers(0, NB, NTR).astype(np.int32)
+    mte = rng.integers(0, NB, NTE).astype(np.int32)
+    train = build(mtr, (score[mtr] + 0.3 * rng.standard_normal(NTR)).astype(np.float32))
+    test = build(mte, (score[mte] + 0.3 * rng.standard_normal(NTE)).astype(np.float32))
+
+    cfg = FMConfig(num_features=NF, num_factors=32)
+    learner = MCMCVectorLearner(
+        cfg, num_iter=args.iters + 1, seed=1, verbose=True
+    )
+    learner.expand_max_ratio = 0.0  # this shape expands ~15x; force BS form
+    t0 = time.time()
+    learner.learn(train, test)
+    times = [h["time"] for h in learner.history[1:]]
+    dt = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "mcmc_bs_fatblock_k32_seconds_per_iteration",
+                "value": round(dt, 4),
+                "unit": "s/iter",
+                "vs_baseline": round(0.39 / dt, 2),
+                "detail": {
+                    "mode": learner.relational_mode,
+                    "test_rmse_mcmc_all": round(
+                        float(learner.history[-1]["test_all"]), 4
+                    ),
+                    "train_rows": train.num_rows,
+                    "reference_s_per_iter": 0.39,
+                    "total_wall_s": round(time.time() - t0, 1),
+                },
+            }
+        )
+    )
+
+
 def bench_ctr(args):
     import json
     import time
@@ -77,9 +151,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument(
-        "--workload", default="ml", choices=["ml", "ctr"],
+        "--workload", default="ml", choices=["ml", "ctr", "bs"],
         help="ml = MCMC regression (headline); ctr = Criteo-style "
-        "classification (BASELINE config #4)",
+        "classification (BASELINE config #4); bs = fat-block relational "
+        "(BS vector engine)",
     )
     args = ap.parse_args()
 
@@ -101,6 +176,8 @@ def main():
 
     if args.workload == "ctr":
         return bench_ctr(args)
+    if args.workload == "bs":
+        return bench_bs(args)
 
     # cache the synthetic dataset on disk so repeat bench runs (driver
     # reruns, warm compile cache) skip the ~40 s generation
