@@ -217,7 +217,7 @@ class _RelLayout:
     unobserved_local: np.ndarray
 
 
-def _build_rel_layout(join_tr, join_te, n_cases: int, attr_group, n: int):
+def _build_rel_layout(join_tr, join_te, attr_group, n: int):
     rd = join_tr.data
     nb = rd.num_cases
     ds = Dataset(
@@ -350,7 +350,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
     # ---- relation layouts ----
     rels = [
-        _build_rel_layout(jt, je, nc_train, attr_group_np, n)
+        _build_rel_layout(jt, je, attr_group_np, n)
         for jt, je in zip(train.relations, test.relations)
     ]
     n_main = rels[0].attr_offset if rels else train.num_features

@@ -320,6 +320,11 @@ class MCMCVectorLearner(MCMCLearner):
                 ):
                     self.relational_mode = "bs_vector"
                     return learn_relational_vector(self, train, test)
+                if self.mesh is not None and self.verbose:
+                    print(
+                        "WARNING: fat relational blocks run on the exact "
+                        "BS engine, which is single-device; -mesh ignored."
+                    )
                 self.relational_mode = "bs"
                 return self._learn_relational(train, test)
         cfg = self.cfg
