@@ -256,3 +256,67 @@ def test_golden_relational_mcmc(ref_bin, tmp_path):
         .rsplit("Test=", 1)[1].split()[0]
     )
     assert abs(ours - ref_rmse) < 0.05, (ours, ref_rmse)
+
+
+def test_golden_relational_fat_block_bs_vector(ref_bin, tmp_path):
+    """FAT-block BS parity: the reference binary vs our BS VECTOR engine
+    (joint draws from per-block-row caches) on identical relation files.
+    The expansion ratio (~10x) exceeds the 8x gate, so the CLI routes to
+    the BS vector engine automatically."""
+    import numpy as np
+
+    from libfm_tpu.data import binary as binio
+    from libfm_tpu.tools import transpose as transpose_tool
+
+    rng = np.random.default_rng(3)
+    NB, W, NF, NTR, NTE = 50, 12, 300, 3000, 600
+    d = str(tmp_path)
+    cols = np.stack(
+        [np.sort(rng.choice(NF, W, replace=False)) for _ in range(NB)]
+    ).astype(np.int32)
+    vals = rng.standard_normal((NB, W)).astype(np.float32)
+    binio.write_sparse_binary(
+        f"{d}/relf.x", np.arange(NB + 1, dtype=np.int64) * W,
+        cols.ravel(), vals.ravel(), NF,
+    )
+    transpose_tool.main(["--ifile", f"{d}/relf.x", "--ofile", f"{d}/relf.xt"])
+    beta = rng.standard_normal(NF).astype(np.float32) * 0.1
+    score = (vals * beta[cols]).sum(axis=1)
+    mtr = rng.integers(0, NB, NTR)
+    mte = rng.integers(0, NB, NTE)
+    np.savetxt(f"{d}/relf.train", mtr, fmt="%d")
+    np.savetxt(f"{d}/relf.test", mte, fmt="%d")
+    with open(f"{d}/bs.train", "w") as fh:
+        fh.writelines(
+            f"{v:.5f}\n" for v in score[mtr] + 0.3 * rng.standard_normal(NTR)
+        )
+    with open(f"{d}/bs.test", "w") as fh:
+        fh.writelines(
+            f"{v:.5f}\n" for v in score[mte] + 0.3 * rng.standard_normal(NTE)
+        )
+
+    args = ["-task", "r", "-train", f"{d}/bs.train", "-test", f"{d}/bs.test",
+            "-relation", f"{d}/relf", "-dim", "1,1,4", "-method", "mcmc",
+            "-iter", "20", "-seed", "1"]
+    out = subprocess.run(
+        [ref_bin, *args], check=True, capture_output=True, text=True
+    ).stdout
+    ref_rmse = float(
+        [l for l in out.splitlines() if l.startswith("#Iter")][-1]
+        .rsplit("Test=", 1)[1].split()[0]
+    )
+
+    import contextlib
+    import io
+
+    from libfm_tpu import cli
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(args)
+    assert rc == 0
+    ours = float(
+        [l for l in buf.getvalue().splitlines() if l.startswith("#Iter")][-1]
+        .rsplit("Test=", 1)[1].split()[0]
+    )
+    assert abs(ours - ref_rmse) < 0.05, (ours, ref_rmse)
