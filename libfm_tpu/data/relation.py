@@ -138,8 +138,15 @@ def expansion_cost(ds) -> tuple[int, int]:
     per case). The BS algorithm pays off when the ratio is large."""
     exp = int(ds.nnz)
     base = int(ds.nnz)
-    for join in ds.relations:
+    for ri, join in enumerate(ds.relations):
         rd = join.data
+        if len(join.row_map) and int(join.row_map.max()) >= rd.num_cases:
+            raise ValueError(
+                f"relation #{ri} join map references block row "
+                f"{int(join.row_map.max())} but the relation has only "
+                f"{rd.num_cases} rows — wrong relation file for this "
+                "join map?"
+            )
         lens = np.diff(rd.indptr).astype(np.int64)
         exp += int(lens[join.row_map].sum())
         base += int(rd.nnz) + ds.num_rows

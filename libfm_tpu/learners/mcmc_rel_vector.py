@@ -220,6 +220,13 @@ class _RelLayout:
 def _build_rel_layout(join_tr, join_te, attr_group, n: int):
     rd = join_tr.data
     nb = rd.num_cases
+    for which, join in (("train", join_tr), ("test", join_te)):
+        if len(join.row_map) and int(join.row_map.max()) >= nb:
+            raise ValueError(
+                f"relation join map ({which}) references block row "
+                f"{int(join.row_map.max())} but the relation has only "
+                f"{nb} rows — wrong relation file for this join map?"
+            )
     ds = Dataset(
         rd.indptr, rd.cols, rd.vals, np.zeros(nb, dtype=np.float32),
         rd.num_features,
@@ -582,8 +589,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             pred = pred + w0
         return pred, Q
 
-    def refresh_A_and_train_metric(w0, w, V, key, S, A, init=False):
-        scores = _rel_scores(w, V, S)
+    def refresh_A_and_train_metric(w0, w, V, key, S, A, init=False,
+                                   scores=None):
+        if scores is None:
+            scores = _rel_scores(w, V, S)
         nchunk = S["tr_ids"].shape[0]
         ckeys = jax.random.split(key, nchunk)
         maps = [dr["map_tr"] for dr in S["dev_rels"]]
@@ -628,8 +637,9 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         train_metric = jnp.sqrt(m0 / m1) if task == TASK_REGRESSION else m0 / m1
         return A, train_metric
 
-    def predict_test(w0, w, V, S):
-        scores = _rel_scores(w, V, S)
+    def predict_test(w0, w, V, S, scores=None):
+        if scores is None:
+            scores = _rel_scores(w, V, S)
         maps = [dr["map_te"] for dr in S["dev_rels"]]
 
         def chunk(_, inp):
@@ -1095,11 +1105,16 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     @partial(jax.jit, donate_argnums=(0,))
     def iteration(state, it, S):
         state = draw_all(state, S)
-        pred_test = predict_test(state["w0"], state["w"], state["V"], S)
+        # one set of per-relation block scores serves both the test
+        # prediction and the train refresh (same w, V)
+        scores = _rel_scores(state["w"], state["V"], S)
+        pred_test = predict_test(state["w0"], state["w"], state["V"], S,
+                                 scores=scores)
         key = state["key"]
         key, kr = jax.random.split(key)
         A, train_metric = refresh_A_and_train_metric(
-            state["w0"], state["w"], state["V"], kr, S, state["A"]
+            state["w0"], state["w"], state["V"], kr, S, state["A"],
+            scores=scores,
         )
         if task == TASK_REGRESSION:
             pred_this = pred_test
@@ -1175,12 +1190,21 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     )
 
     learner.history = []
-    for it in range(learner.num_iter):
+    start_iter = 0
+    if learner.checkpoint_path:
+        state, start_iter = learner._maybe_restore(state)
+    for it in range(start_iter, learner.num_iter):
         c0 = iter_clocks()
         state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
         jax.block_until_ready(state["A"])
         c1 = iter_clocks()
         learner._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))
+        if (
+            learner.checkpoint_path
+            and learner.checkpoint_every
+            and (it + 1) % learner.checkpoint_every == 0
+        ):
+            learner._save_checkpoint(state, it + 1)
 
     learner._final_state = MCMCState(
         w0=state["w0"], w=state["w"][:n], vt=state["V"][:n].T,

@@ -222,3 +222,39 @@ def test_bs_vector_disable_flag_uses_exact_engine():
     m.bs_vector = False
     m.learn(train, test)
     assert m.relational_mode == "bs"
+
+
+def test_bs_vector_checkpoint_resume(tmp_path):
+    """Exact resume on the BS vector path (parity with the flat vector
+    engine's checkpoint story)."""
+    train, test, _, _, n_feat = make_relational_problem(n_cases=300)
+    cfg = FMConfig(num_features=n_feat, num_factors=3)
+    p = str(tmp_path / "bsvec.npz")
+
+    full = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=8, seed=9, verbose=False)
+    )
+    full.learn(train, test)
+    a = _force_bs_vector(MCMCVectorLearner(
+        cfg, num_iter=4, seed=9, verbose=False,
+        checkpoint_path=p, checkpoint_every=4,
+    ))
+    a.learn(train, test)
+    b = _force_bs_vector(MCMCVectorLearner(
+        cfg, num_iter=8, seed=9, verbose=False,
+        checkpoint_path=p, checkpoint_every=4,
+    ))
+    b.learn(train, test)
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in full.history[4:]]
+    assert np.allclose(got, want, rtol=1e-4)
+
+
+def test_bs_vector_rejects_out_of_range_join_map():
+    train, test, _, _, n_feat = make_relational_problem(n_cases=100)
+    train.relations[0].row_map[0] = 10_000  # beyond the block's rows
+    cfg = FMConfig(num_features=n_feat, num_factors=2)
+    m = _force_bs_vector(MCMCVectorLearner(cfg, num_iter=1, seed=1,
+                                           verbose=False))
+    with pytest.raises(ValueError, match="block row 10000 but"):
+        m.learn(train, test)
