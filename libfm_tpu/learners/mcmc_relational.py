@@ -663,7 +663,10 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         return new_state, metrics
 
     learner.history = []
-    for it in range(learner.num_iter):
+    start_iter = 0
+    if learner.checkpoint_path:
+        state, start_iter = learner._maybe_restore(state)
+    for it in range(start_iter, learner.num_iter):
         c0 = iter_clocks()
         state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
         jax.block_until_ready(state["e"])
@@ -671,6 +674,12 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         learner._log_iteration(
             it, metrics, tuple(b - a for a, b in zip(c0, c1))
         )
+        if (
+            learner.checkpoint_path
+            and learner.checkpoint_every
+            and (it + 1) % learner.checkpoint_every == 0
+        ):
+            learner._save_checkpoint(state, it + 1)
 
     from libfm_tpu.learners.mcmc import MCMCState
 

@@ -251,3 +251,23 @@ def test_predict_new_joins_relations():
     assert np.allclose(p_learn, p_new, atol=5e-3), (
         np.abs(p_learn - p_new).max()
     )
+
+
+def test_relational_exact_checkpoint_resume(tmp_path):
+    """Exact resume on the exact BS engine (full sampler state incl. the
+    per-relation y_B caches)."""
+    train, test, _, _, n_feat = make_relational_problem(n_cases=300)
+    cfg = FMConfig(num_features=n_feat, num_factors=3)
+    p = str(tmp_path / "bsexact.npz")
+
+    full = MCMCLearner(cfg, num_iter=8, seed=9, verbose=False)
+    full.learn(train, test)
+    a = MCMCLearner(cfg, num_iter=4, seed=9, verbose=False,
+                    checkpoint_path=p, checkpoint_every=4)
+    a.learn(train, test)
+    b = MCMCLearner(cfg, num_iter=8, seed=9, verbose=False,
+                    checkpoint_path=p, checkpoint_every=4)
+    b.learn(train, test)
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in full.history[4:]]
+    assert np.allclose(got, want, rtol=1e-4)
