@@ -219,6 +219,16 @@ def conflict_free_blocks(
     active = np.nonzero(np.diff(t_indptr) > 0)[0]
     for f in active:
         rows_f = t_rows[t_indptr[f] : t_indptr[f + 1]]
+        if len(np.unique(rows_f)) != len(rows_f):
+            # a row listing the same feature twice would silently break
+            # the layouts' one-slot-per-(row, feature) assumption (and
+            # the unique-indices scatter promises); the conflict-free
+            # fast paths above reject such data by construction
+            raise ValueError(
+                f"feature {int(f)} appears more than once in a single "
+                "row; duplicate (row, feature) entries are not supported "
+                "— coalesce the input first"
+            )
         placed = False
         for b in range(len(blocks_used)):
             if not blocks_used[b][rows_f].any():

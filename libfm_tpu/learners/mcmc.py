@@ -651,12 +651,38 @@ class MCMCLearner:
 
         if not os.path.exists(self.checkpoint_path):
             return state, 0
-        restored, meta = ckpt.restore_state(self.checkpoint_path, like=state)
+        try:
+            restored, meta = ckpt.restore_state(
+                self.checkpoint_path, like=state
+            )
+        except ValueError:
+            # leaf-count/structure mismatch: a checkpoint written by a
+            # different engine (scalar vs vector state trees) — warn and
+            # start fresh rather than crash mid-restore
+            print(
+                f"WARNING: checkpoint {self.checkpoint_path} has a "
+                "different state structure (other engine?); starting fresh."
+            )
+            return state, 0
         expect = self._ckpt_meta(int(meta.get("iter", 0)))
         if any(meta.get(k) != v for k, v in expect.items() if k != "iter"):
             print(
                 f"WARNING: checkpoint {self.checkpoint_path} does not match "
                 "this run's config; starting fresh."
+            )
+            return state, 0
+        # engines share the meta echo but not the state tree (dict vs
+        # dataclass, and leaf COUNTS can coincide) — verify every leaf's
+        # shape against the template before trusting the restore
+        leaves_r = jax.tree_util.tree_leaves(restored)
+        leaves_t = jax.tree_util.tree_leaves(state)
+        if any(
+            np.shape(r) != tuple(np.shape(t))
+            for r, t in zip(leaves_r, leaves_t)
+        ):
+            print(
+                f"WARNING: checkpoint {self.checkpoint_path} has a "
+                "different state structure (other engine?); starting fresh."
             )
             return state, 0
         it = int(meta["iter"])

@@ -327,6 +327,9 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     """Run the BS vector MCMC/ALS loop for `learner` (MCMCVectorLearner)."""
     cfg = learner.cfg
     f = learner.dtype
+    # statistic-accumulation dtype (see mcmc_vector.py): f32 unless the
+    # user asked for f64 — a literal f32 would downcast f64 operands
+    acc_t = jnp.float64 if jnp.dtype(f) == jnp.float64 else jnp.float32
     n, k = cfg.num_features, cfg.num_factors
     d = 1 + k
     learner.min_target = train.min_target
@@ -680,7 +683,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 hq = h[..., 1:]
                 Qq = jnp.einsum(
                     "swi,swj->sij", hq, hq,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc_t,
                 ).astype(f)
                 qa = jnp.einsum("swi,sw->si", hq, a)
                 qe = jnp.einsum("swi,sw->si", hq, e_slot)
@@ -753,7 +756,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             SQe = (Q_r * e_r[..., None]).sum(axis=1)
             SQQ = jnp.einsum(
                 "rlf,rlg->rfg", Q_r, Q_r,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
             ).astype(f)
             return None, (we, SQ, SQe, SQQ)
 
@@ -1195,7 +1198,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         state, start_iter = learner._maybe_restore(state)
     for it in range(start_iter, learner.num_iter):
         c0 = iter_clocks()
-        state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
+        state, metrics = iteration(state, jnp.asarray(it, dtype=jnp.float32), statics)
         jax.block_until_ready(state["A"])
         c1 = iter_clocks()
         learner._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))

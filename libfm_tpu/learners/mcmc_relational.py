@@ -668,7 +668,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         state, start_iter = learner._maybe_restore(state)
     for it in range(start_iter, learner.num_iter):
         c0 = iter_clocks()
-        state, metrics = iteration(state, jnp.asarray(it, dtype=f), statics)
+        state, metrics = iteration(state, jnp.asarray(it, dtype=jnp.float32), statics)
         jax.block_until_ready(state["e"])
         c1 = iter_clocks()
         learner._log_iteration(

@@ -283,20 +283,28 @@ class MCMCVectorLearner(MCMCLearner):
 
             exp_nnz, bs_nnz = expansion_cost(train)
             exp_nnz_te, bs_nnz_te = expansion_cost(test)
+            # block tables shared between train and test joins (the CLI
+            # always shares them, relation.h:192-195 semantics) must not
+            # be double-counted in the BS footprint
+            shared_nnz = sum(
+                jte.data.nnz
+                for jte in test.relations
+                if any(jte.data is jtr.data for jtr in train.relations)
+            )
+            bs_total = bs_nnz + bs_nnz_te - shared_nnz
             # gate: measured crossover on this chip is ~17x (BENCHNOTES
             # "Relational (BS) fast path" — at 13.5x expansion the flat
             # sweep still beat the BS algebra 1.43 vs 1.70 s/iter); 8x
             # leaves margin for shapes where the BS engine fares better
             if (
                 exp_nnz + exp_nnz_te <= 200_000_000
-                and exp_nnz + exp_nnz_te
-                <= self.expand_max_ratio * (bs_nnz + bs_nnz_te)
+                and exp_nnz + exp_nnz_te <= self.expand_max_ratio * bs_total
             ):
                 self.relational_mode = "expanded"
                 if self.verbose:
                     print(
                         f"BS join expanded: {exp_nnz + exp_nnz_te} entries "
-                        f"(BS form {bs_nnz + bs_nnz_te}); vector sweeps"
+                        f"(BS form {bs_total}); vector sweeps"
                     )
                 train = expand_join(train)
                 test = expand_join(test)
@@ -329,6 +337,10 @@ class MCMCVectorLearner(MCMCLearner):
                 return self._learn_relational(train, test)
         cfg = self.cfg
         f = self.dtype
+        # statistic-accumulation dtype: f32 for f32/bf16 inputs (MXU
+        # accumulates f32 natively), f64 when the user asked for f64 —
+        # a literal f32 here would silently DOWNCAST f64 operands
+        acc_t = jnp.float64 if jnp.dtype(f) == jnp.float64 else jnp.float32
         n, k = cfg.num_features, cfg.num_factors
         d = 1 + k  # joint (w, v) dimension
         self.min_target = train.min_target
@@ -606,6 +618,9 @@ class MCMCVectorLearner(MCMCLearner):
             _L = max(1, train.max_row_nnz())
         else:
             _L = max(1, int(np.diff(train.indptr).max()) if train.nnz else 1)
+        # the same ROW_CHUNK also chunks the TEST rows — size the budget
+        # by whichever set has the wider rows
+        _L = max(_L, int(np.diff(test.indptr).max()) if test.nnz else 1)
         _Lp = ((_L + 7) // 8) * 8
         _dp = ((d + 127) // 128) * 128
         ROW_CHUNK = int(max(512, min(1 << 18, (300 << 20) // (_Lp * _dp * 4))))
@@ -885,7 +900,6 @@ class MCMCVectorLearner(MCMCLearner):
                 # / padding cases map out of the one-hot range and
                 # contribute exactly 0.
                 CUS = 8192
-                up2 = lay.up_col.reshape(-1, CUS)
                 upv2 = (
                     None if lay.up_val is None
                     else lay.up_val.reshape(-1, CUS)
@@ -933,11 +947,11 @@ class MCMCVectorLearner(MCMCLearner):
                     ).astype(f)
                     MOM = MOM + jnp.einsum(
                         "cf,cs->fs", onehot, rows,
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=acc_t,
                     ).astype(f)
                     return MOM, None
 
-                iot = jnp.arange(up2.shape[0], dtype=jnp.int32)
+                iot = jnp.arange(lay.stats_map.shape[0], dtype=jnp.int32)
                 MOM, _ = jax.lax.scan(
                     stats_case_chunk, MOM,
                     (iot, lay.stats_map)
@@ -990,7 +1004,7 @@ class MCMCVectorLearner(MCMCLearner):
                     hq = h[..., 1:]  # [C, W, k] — x * qp
                     Qq = jnp.einsum(
                         "swi,swj->sij", hq, hq,
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=acc_t,
                     ).astype(f)
                     qa = jnp.einsum("swi,sw->si", hq, a)
                     qe = jnp.einsum("swi,sw->si", hq, e_slot)
@@ -1179,7 +1193,7 @@ class MCMCVectorLearner(MCMCLearner):
                     )
                     Kg = jnp.einsum(
                         "cwd,cd,cud->cwu", Phi, Dinv, Phi,
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=acc_t,
                     ).astype(f)
                     W_ = Kg.shape[-1]
                     Mk = Kg + jnp.eye(W_, dtype=f)
@@ -1545,6 +1559,12 @@ class MCMCVectorLearner(MCMCLearner):
             pred_sum_all_but5=jnp.zeros((nc_test,), f),
             key=key, rejected=jnp.zeros((), jnp.int32),
         )
+        # restore BEFORE the sharded device_put so a resumed run gets the
+        # same sharding plan as a fresh one (restore yields host arrays)
+        self.history = []
+        start_iter = 0
+        if self.checkpoint_path:
+            state, start_iter = self._maybe_restore(state)
         if mesh is not None:
             # hyperparameters/scalars replicated; slot layouts sharded
             # over `data` (put above); with a model axis, w/V row-shard
@@ -1558,10 +1578,6 @@ class MCMCVectorLearner(MCMCLearner):
         # big static arrays go through the jit boundary as ARGUMENTS —
         # closing over them would bake them into the HLO as constants
         # (minutes of compile time + a duplicate HBM copy)
-        self.history = []
-        start_iter = 0
-        if self.checkpoint_path:
-            state, start_iter = self._maybe_restore(state)
         R = max(1, int(self.refresh_every))
         for it in range(start_iter, self.num_iter):
             refresh = (
@@ -1572,7 +1588,7 @@ class MCMCVectorLearner(MCMCLearner):
             )
             c0 = iter_clocks()
             state, metrics = iteration(
-                state, jnp.asarray(it, dtype=f), statics, refresh
+                state, jnp.asarray(it, dtype=jnp.float32), statics, refresh
             )
             jax.block_until_ready(state["A"])
             c1 = iter_clocks()

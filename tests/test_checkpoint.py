@@ -69,3 +69,27 @@ def test_mismatched_checkpoint_ignored(tmp_path):
     )
     b.learn(train, test)
     assert [h["iter"] for h in b.history] == [0, 1]
+
+
+def test_cross_engine_checkpoint_starts_fresh(tmp_path, capsys):
+    """A checkpoint written by the scalar engine must not crash the
+    vector engine's restore — it warns and starts fresh (different state
+    trees; the meta echo can't distinguish them)."""
+    from libfm_tpu.data.synth import movielens_like
+    from libfm_tpu.learners.mcmc import MCMCLearner
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+
+    train, test = movielens_like(num_users=20, num_items=15,
+                                 num_ratings=300, seed=0)
+    cfg = FMConfig(num_features=train.num_features, num_factors=2)
+    p = str(tmp_path / "cross.npz")
+    a = MCMCLearner(cfg, num_iter=2, seed=1, verbose=False,
+                    checkpoint_path=p, checkpoint_every=2)
+    a.learn(train, test)
+
+    b = MCMCVectorLearner(cfg, num_iter=2, seed=1, verbose=False,
+                          checkpoint_path=p, checkpoint_every=2)
+    b.learn(train, test)  # must not raise
+    assert len(b.history) == 2
+    assert "starting fresh" in capsys.readouterr().out

@@ -152,3 +152,21 @@ def test_undersized_model_rejected_with_clear_error():
     ):
         with pytest.raises(ValueError, match="num_features=10 .* 35 features"):
             learner.learn(train, test)
+
+
+def test_duplicate_row_feature_entries_rejected():
+    """A row listing the same feature twice would silently corrupt the
+    vector layouts (one-slot-per-(row,feature) assumption + unique
+    scatter promises) — must fail fast instead."""
+    from libfm_tpu.data.batching import conflict_free_blocks
+    from libfm_tpu.data.dataset import Dataset
+
+    ds = Dataset(
+        np.array([0, 3, 5], np.int64),
+        np.array([0, 1, 0, 1, 2], np.int32),  # row 0 lists feature 0 twice
+        np.ones(5, np.float32),
+        np.array([1.0, 2.0], np.float32),
+        3,
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        conflict_free_blocks(ds)
