@@ -117,7 +117,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if not (args.task and args.train and args.test):
         build_parser().print_help()
-        return 0 if argv in (None, []) else 1
+        # bare invocation (no args at all) = help, success; anything
+        # else missing a required flag is a usage error
+        given = sys.argv[1:] if argv is None else list(argv)
+        return 0 if not given else 1
 
     import jax
 
@@ -143,6 +146,9 @@ def main(argv=None) -> int:
     do_sampling = bool(args.do_sampling)
     do_multilevel = bool(args.do_multilevel)
 
+    # reference parity: mcmc + save/load prints a warning and exits 0
+    # WITHOUT training (libfm.cpp:123-133 `return 0`); als passes the
+    # guard (checked before the als->mcmc rewrite) and loadModel runs
     if method == "mcmc" and args.save_model:
         print("WARNING: -save_model enabled only for SGD and ALS.")
         return 0
@@ -459,6 +465,9 @@ def main(argv=None) -> int:
             print("Loading train...")
             train = Dataset.load(args.train)
             stream_train = None
+            if task == TASK_CLASSIFICATION:
+                # the earlier binarization ran on the discarded stream
+                train.binarize_targets()
         if args.engine == "vector":
             # relational (BS) data is handled inside the vector learner:
             # thin joins are expanded to a flat design matrix and swept
@@ -498,6 +507,18 @@ def main(argv=None) -> int:
             **extra,
         )
         learner.set_regularization(reg, num_groups)
+        if args.load_model:
+            # only reachable for `als` (the mcmc guard above exits);
+            # the reference loads the model there (libfm.cpp:262-268)
+            # and then re-randomises w (:283) — warm_start keeps w0/V
+            print("Reading FM model...")
+            loaded = load_model_text(cfg, args.load_model)
+            if loaded is None:
+                print(
+                    "WARNING: malformed model file. Nothing will be loaded."
+                )
+            else:
+                learner.warm_start = loaded
         learner.register_log_fields()
         if rlog:
             rlog.init()

@@ -445,6 +445,11 @@ class MCMCLearner:
         self.history: list = []
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        # -load_model warm start (ALS only in the CLI): the reference
+        # loads w0/w/V and then re-randomises w for the mcmc family
+        # (libfm.cpp:262-268 then :283 fm.w.init_normal), so only the
+        # loaded w0 and V take effect
+        self.warm_start = None  # FMParams | None
 
     # -------------------------------------------------------------- setup
     def set_regularization(self, reg: list[float], num_groups: int):
@@ -541,6 +546,10 @@ class MCMCLearner:
         vt = cfg.init_mean + cfg.init_stdev * jax.random.normal(
             kv, (k, n), dtype=f
         )
+        w0_init = jnp.zeros((), f)
+        if self.warm_start is not None:  # see __init__: only w0/V load
+            vt = jnp.asarray(self.warm_start.v, dtype=f).T
+            w0_init = jnp.asarray(self.warm_start.w0, dtype=f)
         w_lambda = (
             jnp.asarray(self._w_lambda_vec, dtype=f)
             if self._w_lambda_vec is not None
@@ -570,14 +579,14 @@ class MCMCLearner:
         # mcmc_simultaneous.h:70-86)
         e0 = (
             csr_predict(
-                jnp.zeros((), f), w, vt, tr_rows, tr_cols, tr_vals, nc_train,
+                w0_init, w, vt, tr_rows, tr_cols, tr_vals, nc_train,
                 cfg.use_bias, cfg.use_linear,
             )
             - y_train
         )
 
         state = MCMCState(
-            w0=jnp.zeros((), f),
+            w0=w0_init,
             w=w,
             vt=vt,
             alpha=jnp.asarray(1.0, f),

@@ -527,6 +527,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     key, kw, kv = jax.random.split(key, 3)
     w = cfg.init_mean + cfg.init_stdev * jax.random.normal(kw, (n,), dtype=f)
     V = cfg.init_mean + cfg.init_stdev * jax.random.normal(kv, (n, k), dtype=f)
+    w0_init = jnp.zeros((), f)
+    if learner.warm_start is not None:  # MCMCLearner.__init__: only w0/V load
+        V = jnp.asarray(learner.warm_start.v, dtype=f)
+        w0_init = jnp.asarray(learner.warm_start.w0, dtype=f)
     if not use_linear:
         w = jnp.zeros((n,), f)
     # dummy row n for padded-feature draws (never read back)
@@ -1172,17 +1176,17 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
     # ---------------- init & loop ----------------
     @jax.jit
-    def init_A(w, V, key, S):
+    def init_A(w0_0, w, V, key, S):
         A0, _ = refresh_A_and_train_metric(
-            jnp.zeros((), f), w, V, key, S,
+            w0_0, w, V, key, S,
             jnp.zeros((A_rows, 1 + k), f), init=True,
         )
         return A0
 
     key, k_init = jax.random.split(key)
-    A0 = init_A(w, V, k_init, statics)
+    A0 = init_A(w0_init, w, V, k_init, statics)
     state = dict(
-        A=A0, w0=jnp.zeros((), f), w=w, V=V,
+        A=A0, w0=w0_init, w=w, V=V,
         alpha=jnp.asarray(1.0, f),
         w_mu=jnp.zeros((G,), f), w_lambda=w_lambda,
         v_mu=jnp.zeros((G, k), f), v_lambda=v_lambda,

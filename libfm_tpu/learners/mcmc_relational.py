@@ -335,6 +335,10 @@ def learn_relational(learner, train: Dataset, test: Dataset):
     key, kw, kv = jax.random.split(key, 3)
     w = cfg.init_mean + cfg.init_stdev * jax.random.normal(kw, (n,), dtype=f)
     vt = cfg.init_mean + cfg.init_stdev * jax.random.normal(kv, (k, n), dtype=f)
+    w0_init = jnp.zeros((), f)
+    if learner.warm_start is not None:  # MCMCLearner.__init__: only w0/V load
+        vt = jnp.asarray(learner.warm_start.v, dtype=f).T
+        w0_init = jnp.asarray(learner.warm_start.w0, dtype=f)
     w_lambda = (
         jnp.asarray(learner._w_lambda_vec, dtype=f)
         if learner._w_lambda_vec is not None
@@ -354,9 +358,9 @@ def learn_relational(learner, train: Dataset, test: Dataset):
         te_rows=te_rows, te_cols=te_cols, te_vals=te_vals,
         y_train=y_train, y_test=y_test, eval_mask=eval_mask,
     )
-    pred_tr0, _, y_bs0 = rel_predict(jnp.zeros((), f), w, vt, statics)
+    pred_tr0, _, y_bs0 = rel_predict(w0_init, w, vt, statics)
     state = dict(
-        w0=jnp.zeros((), f),
+        w0=w0_init,
         w=w,
         vt=vt,
         alpha=jnp.asarray(1.0, f),

@@ -712,6 +712,10 @@ class MCMCVectorLearner(MCMCLearner):
         key, kw, kv = jax.random.split(key, 3)
         w = cfg.init_mean + cfg.init_stdev * jax.random.normal(kw, (n,), dtype=f)
         V = cfg.init_mean + cfg.init_stdev * jax.random.normal(kv, (n, k), dtype=f)
+        w0_init = jnp.zeros((), f)
+        if self.warm_start is not None:  # MCMCLearner.__init__: only w0/V load
+            V = jnp.asarray(self.warm_start.v, dtype=f)
+            w0_init = jnp.asarray(self.warm_start.w0, dtype=f)
         if not use_linear:
             w = jnp.zeros((n,), f)
         if n_pad != n:
@@ -1525,10 +1529,10 @@ class MCMCVectorLearner(MCMCLearner):
             A_rows = ((A_rows + D - 1) // D) * D
 
         @jax.jit
-        def init_A(w, V, key, statics):
-            P0 = packed_params(jnp.zeros((), f), w, V)
+        def init_A(w0_0, w, V, key, statics):
+            P0 = packed_params(w0_0, w, V)
             A0, _ = refresh_A_and_train_metric(
-                jnp.zeros((), f), P0, key, statics,
+                w0_0, P0, key, statics,
                 jnp.zeros((A_rows, 1 + k), f), init=True,
             )
             return A0
@@ -1548,9 +1552,9 @@ class MCMCVectorLearner(MCMCLearner):
             unobserved=unobserved, valid=valid,
         )
         key, k_init = jax.random.split(key)
-        A0 = init_A(w, V, k_init, statics)
+        A0 = init_A(w0_init, w, V, k_init, statics)
         state = dict(
-            A=A0, w0=jnp.zeros((), f), w=w, V=V,
+            A=A0, w0=w0_init, w=w, V=V,
             alpha=jnp.asarray(1.0, f),
             w_mu=jnp.zeros((G,), f), w_lambda=w_lambda,
             v_mu=jnp.zeros((G, k), f), v_lambda=v_lambda,

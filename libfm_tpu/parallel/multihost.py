@@ -82,8 +82,20 @@ def make_global_array(
         r = index[0]
         start = 0 if r.start is None else r.start
         stop = global_shape[0] if r.stop is None else r.stop
-        return local_np[start - row0 : stop - row0][
-            tuple(index[1:])
-        ] if len(index) > 1 else local_np[start - row0 : stop - row0]
+        if start < row0 or stop > row0 + len(local_np):
+            # a negative python slice start would silently wrap — the
+            # mesh's data axis must give this process a contiguous row
+            # range covering every shard its devices own
+            raise ValueError(
+                f"device shard rows [{start}, {stop}) fall outside this "
+                f"process's slab [{row0}, {row0 + len(local_np)}); check "
+                "process_shard/mesh process ordering"
+            )
+        # the row slice must be joined with the trailing-dim index in ONE
+        # tuple — applying index[1:] to the sliced array would re-index
+        # axis 0
+        return local_np[
+            (slice(start - row0, stop - row0),) + tuple(index[1:])
+        ]
 
     return jax.make_array_from_callback(tuple(global_shape), sharding, cb)

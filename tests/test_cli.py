@@ -267,3 +267,84 @@ def test_cli_cache_size_streams_mcmc(tmp_path):
     out = buf.getvalue()
     assert rc == 0
     assert "needs the transpose" in out
+
+
+def test_cli_als_load_model_warm_start(files, tmp_path):
+    """-load_model for ALS: the reference loads the model
+    (libfm.cpp:262-268 runs for `als` — the guard only blocks literal
+    `mcmc`) and then re-randomises w (:283), so the loaded w0/V warm
+    start the run. A warm start from a converged model must begin near
+    its converged RMSE."""
+    import contextlib
+    import io
+
+    d, trp, tep = files
+    model = str(tmp_path / "warm.txt")
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "als",
+        "-dim", "1,1,4", "-iter", "15", "-seed", "1", "-regular", "0,1,1",
+        "-save_model", model,
+    ])
+    assert rc == 0
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "-task", "r", "-train", trp, "-test", tep, "-method", "als",
+                "-dim", "1,1,4", "-iter", "1", "-seed", "1",
+                "-regular", "0,1,1", *extra,
+            ])
+        assert rc == 0
+        line = [l for l in buf.getvalue().splitlines() if l.startswith("#Iter")][0]
+        return float(line.rsplit("Test=", 1)[1].split()[0])
+
+    cold = run([])
+    warm = run(["-load_model", model])
+    assert warm < cold - 0.02, (warm, cold)
+
+
+def test_cli_exact_engine_streaming_classification_rebinarizes(tmp_path):
+    """-task c with -cache_size and -engine exact reloads the train set
+    resident — the targets must be re-binarized (previously only the
+    discarded stream was binarized: silently wrong training signal)."""
+    import contextlib
+    import io
+
+    train, test = movielens_like(num_users=25, num_items=20,
+                                 num_ratings=800, seed=3)
+    # separable labels from the latent scores (threshold at the median)
+    med = float(np.median(train.target))
+    train.target = np.where(train.target > med, 4.0, 1.0).astype(np.float32)
+    test.target = np.where(test.target > med, 4.0, 1.0).astype(np.float32)
+    train.min_target, train.max_target = 1.0, 4.0
+    test.min_target, test.max_target = 1.0, 4.0
+    stem = str(tmp_path / "c")
+    train.to_binary(stem, with_transpose=False)
+    tep = str(tmp_path / "c.test")
+    test.to_libfm_text(tep)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([
+            "-task", "c", "-train", stem, "-test", tep, "-method", "mcmc",
+            "-engine", "exact", "-dim", "1,1,4", "-iter", "12",
+            "-cache_size", "1000", "-seed", "1",
+        ])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "loading resident" in out
+    accs = [
+        float(l.rsplit("Test=", 2)[1].split()[0].split("\t")[0])
+        for l in out.splitlines()
+        if l.startswith("#Iter")
+    ]
+    # raw 1/4 targets (all > 0) would drive every latent positive and
+    # leave test accuracy near the label base rate; binarized targets
+    # learn the separable structure
+    assert accs[-1] > 0.7, accs
+
+
+def test_cli_missing_required_args_exit_code():
+    assert cli.main([]) == 0  # bare help
+    assert cli.main(["-task", "r", "-train", "/nonexistent"]) == 1

@@ -79,3 +79,22 @@ def test_two_process_sharded_sgd_matches_single():
     )
     hist = l.learn(train, test)
     assert abs(hist[-1][1] - rmses[0]) < 1e-3, (hist[-1][1], rmses[0])
+
+
+def test_make_global_array_trailing_dim_sharding():
+    """Column sharding (P(None, 'data')) must slice the TRAILING dim —
+    a 1-tuple index applied to the row-sliced array would re-slice rows."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from libfm_tpu.parallel.multihost import make_global_array
+
+    devs = np.array(jax.devices()[:8]).reshape(8,)
+    mesh = Mesh(devs, ("data",))
+    g = np.arange(16 * 8, dtype=np.float32).reshape(16, 8)
+    arr = make_global_array((16, 8), g, 0, mesh, P(None, "data"))
+    np.testing.assert_array_equal(np.asarray(arr), g)
+
+    arr2 = make_global_array((16, 8), g, 0, mesh, P("data", None))
+    np.testing.assert_array_equal(np.asarray(arr2), g)
