@@ -35,7 +35,12 @@ from libfm_tpu.data.dataset import Dataset
 
 def stream_sparse_binary(path: str, entry_budget: int = 10_000_000):
     """Yield (row_start, indptr, cols, vals) windows with at most
-    ~entry_budget entries each (>= 1 row). indptr is window-local."""
+    ~entry_budget entries each (>= 1 row). indptr is window-local.
+
+    Rows are parsed from large bulk reads (one size-walk per row over an
+    in-memory buffer, one vectorised gather for all entry payloads) —
+    two `f.read` syscalls per ROW would dominate every out-of-core SGD
+    epoch (~10M Python-level reads at ML-10M scale)."""
     with open(path, "rb") as f:
         head = f.read(_FMATRIX_HEADER.size)
         fid, float_size, num_values, num_rows, num_cols = _FMATRIX_HEADER.unpack(
@@ -46,35 +51,62 @@ def stream_sparse_binary(path: str, entry_budget: int = 10_000_000):
         if float_size != 4:
             raise ValueError(f"{path}: unsupported float size {float_size}")
 
+        CHUNK = max(1 << 22, min(entry_budget, 1 << 27) * 9)
+        buf = b""
         row_start = 0
-        while row_start < num_rows:
-            sizes = [0]
-            chunks = []
-            total = 0
-            rows_here = 0
-            while row_start + rows_here < num_rows and total < entry_budget:
-                (size,) = struct.unpack("<I", f.read(4))
-                raw = f.read(8 * size)
-                chunks.append(np.frombuffer(raw, dtype=np.uint8))
-                total += size
-                sizes.append(total)
-                rows_here += 1
-            entries = (
-                np.concatenate(chunks).view("<u4").reshape(-1, 2)
-                if chunks
-                else np.empty((0, 2), "<u4")
-            )
-            cols = entries[:, 0].astype(np.int32)
-            vals = entries[:, 1].copy().view("<f4").astype(np.float32)
-            yield (
+        rows_done = 0
+
+        def _emit(wb, first, end, starts):
+            """One window from buffer words [first, end): every byte
+            offset is 4-aligned (rows advance by 4 + 8*size), and the
+            entry payloads are contiguous except for the interleaved
+            4-byte size words — mask-deleting those yields the whole
+            window's (col, val) stream in one vectorised compress."""
+            nonlocal row_start
+            st = np.asarray(starts, dtype=np.int64)
+            words = wb[first >> 2 : end >> 2]
+            mask = np.ones(len(words), dtype=bool)
+            mask[(st - 4 - first) >> 2] = False
+            ent = words[mask]
+            sizes = wb[(st - 4) >> 2].astype(np.int64)
+            out = (
                 row_start,
-                np.asarray(sizes, dtype=np.int64),
-                cols,
-                vals,
+                np.concatenate([[0], np.cumsum(sizes)]),
+                ent[0::2].astype(np.int32),
+                ent[1::2].copy().view("<f4").astype(np.float32),
                 num_rows,
                 num_cols,
             )
-            row_start += rows_here
+            row_start += len(starts)
+            return out
+
+        while rows_done < num_rows:
+            more = f.read(CHUNK)
+            buf = buf + more if buf else more
+            wb = np.frombuffer(buf, dtype="<u4", count=len(buf) >> 2)
+            pos = 0
+            win_first = 0
+            n = len(buf)
+            starts: list[int] = []  # entry byte offsets, current window
+            total = 0
+            while rows_done < num_rows and pos + 4 <= n:
+                size = int(wb[pos >> 2])
+                end = pos + 4 + 8 * size
+                if end > n:
+                    break
+                starts.append(pos + 4)
+                total += size
+                pos = end
+                rows_done += 1
+                if total >= entry_budget:
+                    yield _emit(wb, win_first, pos, starts)
+                    win_first, starts, total = pos, [], 0
+            if starts:
+                # emit before trimming: offsets are buffer-relative
+                yield _emit(wb, win_first, pos, starts)
+            if rows_done < num_rows and not more and pos == 0:
+                raise ValueError(f"{path}: truncated sparse-matrix file")
+            buf = buf[pos:]
 
 
 # ------------------------------------------- streaming MCMC layout build
@@ -306,16 +338,37 @@ class StreamingDataset:
         for row_start, indptr, cols, vals, _, _ in stream_sparse_binary(
             self.x_path, self.entry_budget
         ):
-            for i in range(len(indptr) - 1):
-                s, e = indptr[i], indptr[i + 1]
-                ln = min(int(e - s), max_nnz)
-                if e - s > ln:
-                    self.truncated_rows += 1
-                    self.truncated_entries += int(e - s) - ln
-                buf_ids[fill, :ln] = cols[s : s + ln]
-                buf_vals[fill, :ln] = vals[s : s + ln]
-                buf_y[fill] = self.target[row_start + i]
-                fill += 1
+            # pad the whole window at once (one fancy-indexed scatter),
+            # then copy batch-sized slabs — no per-row Python loop
+            nwin = len(indptr) - 1
+            lengths = np.diff(indptr).astype(np.int64)
+            offs = np.arange(int(indptr[-1]), dtype=np.int64) - np.repeat(
+                indptr[:-1], lengths
+            )
+            keep = offs < max_nnz
+            n_trunc = int(indptr[-1]) - int(keep.sum())
+            if n_trunc:
+                self.truncated_rows += int((lengths > max_nnz).sum())
+                self.truncated_entries += n_trunc
+            rows_e = np.repeat(
+                np.arange(nwin, dtype=np.int64), lengths
+            )[keep]
+            offs_e = offs[keep]
+            w_ids = np.zeros((nwin, max_nnz), dtype=np.int32)
+            w_vals = np.zeros((nwin, max_nnz), dtype=np.float32)
+            w_ids[rows_e, offs_e] = cols[keep]
+            w_vals[rows_e, offs_e] = vals[keep]
+            w_y = np.asarray(
+                self.target[row_start : row_start + nwin], dtype=np.float32
+            )
+            done = 0
+            while done < nwin:
+                take = min(batch_size - fill, nwin - done)
+                buf_ids[fill : fill + take] = w_ids[done : done + take]
+                buf_vals[fill : fill + take] = w_vals[done : done + take]
+                buf_y[fill : fill + take] = w_y[done : done + take]
+                fill += take
+                done += take
                 if fill == batch_size:
                     mask = np.ones(batch_size, dtype=bool)
                     yield buf_ids, buf_vals, buf_y, mask
