@@ -68,14 +68,22 @@ class Dataset:
     vals: np.ndarray  # float32 [nnz]
     target: np.ndarray  # float32 [num_rows]
     num_features: int
-    min_target: float = 0.0
-    max_target: float = 0.0
+    min_target: float | None = None
+    max_target: float | None = None
     relations: list = field(default_factory=list)  # list[RelationJoin]
 
     def __post_init__(self):
-        if len(self.target):
-            self.min_target = float(np.min(self.target))
-            self.max_target = float(np.max(self.target))
+        # compute the clamp range from the observed targets unless the
+        # caller supplied one explicitly (e.g. a test split whose range
+        # is narrower than the training range)
+        if self.min_target is None:
+            self.min_target = (
+                float(np.min(self.target)) if len(self.target) else 0.0
+            )
+        if self.max_target is None:
+            self.max_target = (
+                float(np.max(self.target)) if len(self.target) else 0.0
+            )
 
     @property
     def num_rows(self) -> int:
@@ -162,6 +170,11 @@ class Dataset:
         # transpose back to row-major CSR
         indptr, cols, vals = _csr_transpose(tindptr, tcols, tvals, t_rows, t_cols)
         target = binio.read_dvector_binary(y_path, dtype=np.float32)
+        if len(target) != t_cols:
+            raise ValueError(
+                f"{y_path}: target rows {len(target)} != matrix rows "
+                f"{t_cols} (transposed {xt_path} has {t_cols} columns)"
+            )
         return cls(indptr, cols, vals, target, t_rows)
 
     def to_libfm_text(self, path: str) -> None:
@@ -207,9 +220,18 @@ class Dataset:
         lengths = np.diff(self.indptr)
         new_indptr = np.zeros(self.num_rows + 1, dtype=np.int64)
         np.cumsum(lengths[perm], out=new_indptr[1:])
-        order = np.concatenate(
-            [np.arange(self.indptr[p], self.indptr[p + 1]) for p in perm]
-        ).astype(np.int64) if self.nnz else np.empty(0, dtype=np.int64)
+        # vectorised entry reorder (a per-row python loop costs tens of
+        # seconds at ML-10M scale, and shuffling is the documented SGD
+        # pre-step)
+        if self.nnz:
+            lp = lengths[perm].astype(np.int64)
+            starts = self.indptr[perm].astype(np.int64)
+            order = np.repeat(starts, lp) + (
+                np.arange(int(lp.sum()), dtype=np.int64)
+                - np.repeat(new_indptr[:-1], lp)
+            )
+        else:
+            order = np.empty(0, dtype=np.int64)
         ds = Dataset(
             new_indptr,
             self.cols[order],

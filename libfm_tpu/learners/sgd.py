@@ -243,7 +243,7 @@ class SGDLearner:
         return params
 
     def learn(self, train: Dataset, test: Dataset):
-        if train.relations:
+        if train.relations or getattr(test, "relations", None):
             raise ValueError(
                 "relations are not supported with SGD"
             )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
@@ -360,6 +360,11 @@ class SGDLearner:
         return history
 
     def evaluate(self, ds: Dataset) -> float:
+        if getattr(ds, "relations", None):
+            raise ValueError(
+                "relations are not supported with SGD"
+            )  # parity: fm_learn_sgd.h:61-63 (batching would silently
+            # drop the block features otherwise)
         b = batch_dataset(ds, self.batch_size)
         m = self._eval(self.params, *_device_arrays(b), self.min_target, self.max_target)
         return float(m[0])
@@ -367,6 +372,10 @@ class SGDLearner:
     def predict(self, ds: Dataset) -> np.ndarray:
         """Linked predictions (clamped / sigmoid):
         /root/reference/src/libfm/src/fm_learn_sgd.h:76-90."""
+        if getattr(ds, "relations", None):
+            raise ValueError(
+                "relations are not supported with SGD"
+            )  # parity: fm_learn_sgd.h:61-63
         b = batch_dataset(ds, self.batch_size)
         ids, vals, _, _ = _device_arrays(b)
 

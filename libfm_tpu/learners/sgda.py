@@ -59,7 +59,9 @@ class SGDALearner(SGDLearner):
         self.rlog.add_field("rmse_val", float("nan"))
 
     def learn(self, train: Dataset, test: Dataset, validation: Dataset = None):
-        if train.relations:
+        if train.relations or getattr(test, "relations", None) or (
+            validation is not None and getattr(validation, "relations", None)
+        ):
             raise ValueError(
                 "relations are not supported with SGD"
             )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
@@ -90,8 +92,12 @@ class SGDALearner(SGDLearner):
 
         reg_w = jnp.zeros((G,), f)
         reg_v = jnp.zeros((G, k), f)
-        grad_w = jnp.zeros((n,), f)
-        grad_v = jnp.zeros((n, k), f)
+        # one dummy row (index n) absorbs the padded slots' scatter
+        # writes — the reference caches gradients only at real entries
+        # (adapt_reg.h:150-168); letting padding overwrite grad[0] with
+        # zeros would corrupt feature 0's look-ahead
+        grad_w = jnp.zeros((n + 1,), f)
+        grad_v = jnp.zeros((n + 1, k), f)
 
         nb_t, nb_v = tb.num_batches, vb.num_batches
 
@@ -103,20 +109,29 @@ class SGDALearner(SGDLearner):
             mult = jnp.where(rmask, sgda_multiplier(pred, y, task, min_t, max_t), 0.0)
             emask = (vals != 0.0).astype(f)
             g = attr_group[ids]  # [B, L]
+            # padded slots (id 0, val 0) scatter into the dummy row n
+            sids = jnp.where(vals != 0.0, ids, n).reshape(-1)
 
-            new_w0 = params.w0 - lr * (mult.sum() + 2.0 * 0.0 * params.w0)
+            # the reference guards every layer with k0/k1
+            # (adapt_reg.h:146-168): -dim 0,*,k must not drift w0/w
+            new_w0 = (
+                params.w0 - lr * mult.sum() if cfg.use_bias else params.w0
+            )
             # w
-            gw_entries = mult[:, None] * vals  # [B, L]
-            grad_w = grad_w.at[ids.reshape(-1)].set(gw_entries.reshape(-1))
-            w_g = params.w[ids]
-            upd_w = -lr * (gw_entries + 2.0 * reg_w[g] * w_g * emask)
-            new_w = params.w.at[ids.reshape(-1)].add(upd_w.reshape(-1))
+            if cfg.use_linear:
+                gw_entries = mult[:, None] * vals  # [B, L]
+                grad_w = grad_w.at[sids].set(gw_entries.reshape(-1))
+                w_g = params.w[ids]
+                upd_w = -lr * (gw_entries + 2.0 * reg_w[g] * w_g * emask)
+                new_w = params.w.at[ids.reshape(-1)].add(upd_w.reshape(-1))
+            else:
+                new_w = params.w
             # v
             v_g = params.v[ids]  # [B, L, k]
             gv_entries = mult[:, None, None] * (
                 vals[..., None] * (vsum[:, None, :] - v_g * vals[..., None])
             )
-            grad_v = grad_v.at[ids.reshape(-1)].set(gv_entries.reshape(-1, k))
+            grad_v = grad_v.at[sids].set(gv_entries.reshape(-1, k))
             upd_v = -lr * (
                 gv_entries + 2.0 * reg_v[g] * v_g * emask[..., None]
             )
@@ -131,7 +146,9 @@ class SGDALearner(SGDLearner):
             emask = (vals != 0.0).astype(f)
             B = ids.shape[0]
 
-            # look-ahead params on the validation rows (predict_scaled)
+            # look-ahead params on the validation rows (predict_scaled;
+            # w0 is NOT looked ahead, adapt_reg.h:171-199, and k0/k1
+            # gate each layer)
             w_g = params.w[ids]
             w_dash = w_g - lr * (grad_w[ids] + 2.0 * reg_w[g] * w_g)
             v_g = params.v[ids]  # [B, L, k]
@@ -139,11 +156,11 @@ class SGDALearner(SGDLearner):
 
             vx_d = v_dash * vals[..., None]
             sum_f_dash = vx_d.sum(axis=1)  # [B, k]
-            p = (
-                params.w0
-                + (w_dash * vals).sum(axis=1)
-                + 0.5 * ((sum_f_dash**2).sum(axis=1) - (vx_d**2).sum(axis=(1, 2)))
-            )
+            p = 0.5 * ((sum_f_dash**2).sum(axis=1) - (vx_d**2).sum(axis=(1, 2)))
+            if cfg.use_bias:
+                p = p + params.w0
+            if cfg.use_linear:
+                p = p + (w_dash * vals).sum(axis=1)
             grad_loss = jnp.where(
                 rmask, sgda_multiplier(p, y, task, min_t, max_t), 0.0
             )  # [B]
@@ -158,11 +175,14 @@ class SGDALearner(SGDLearner):
                     entry_vals.reshape(-1), seg, num_segments=B * G
                 ).reshape(B, G)
 
-            # w lambdas (adapt_reg.h:212-223)
-            lam_w = row_group_sum(vals * w_g * emask)  # [B, G]
-            lam_w_grad = -2.0 * lr * lam_w
-            reg_w = reg_w - lr * (grad_loss[:, None] * lam_w_grad).sum(axis=0)
-            reg_w = jnp.maximum(reg_w, 0.0)
+            # w lambdas (adapt_reg.h:212-223; only with a linear layer)
+            if cfg.use_linear:
+                lam_w = row_group_sum(vals * w_g * emask)  # [B, G]
+                lam_w_grad = -2.0 * lr * lam_w
+                reg_w = reg_w - lr * (
+                    grad_loss[:, None] * lam_w_grad
+                ).sum(axis=0)
+                reg_w = jnp.maximum(reg_w, 0.0)
 
             # v lambdas (adapt_reg.h:224-247)
             xv = v_g * vals[..., None]  # [B, L, k]

@@ -52,7 +52,11 @@ def _load():
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        so = _SO if os.path.exists(_SO) else _build()
+        fresh = os.path.exists(_SO) and (
+            not os.path.exists(_SRC)
+            or os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+        )
+        so = _SO if fresh else _build()
         if so is None:
             return None
         lib = ctypes.CDLL(so)
@@ -107,6 +111,11 @@ def parse_libfm_text(path: str):
     num_features = lib.lfm_text_parse(
         path.encode(), _ptr(indptr), _ptr(cols), _ptr(vals), _ptr(target)
     )
+    if num_features == -2:
+        raise ValueError(
+            f"{path}: malformed libFM line (':' with no feature id — "
+            "missing target?)"
+        )
     if num_features < 0:
         raise OSError(f"cannot parse {path}")
     return indptr, cols, vals, target, int(num_features)
@@ -136,8 +145,13 @@ def csr_transpose(indptr, cols, vals, num_rows: int, num_cols: int):
     t_indptr = np.empty(num_cols + 1, dtype=np.int64)
     t_rows = np.empty(nnz, dtype=np.int32)
     t_vals = np.empty(nnz, dtype=np.float32)
-    lib.lfm_csr_transpose(
+    rc = lib.lfm_csr_transpose(
         _ptr(indptr), _ptr(cols), _ptr(vals), num_rows, num_cols,
         _ptr(t_indptr), _ptr(t_rows), _ptr(t_vals),
     )
+    if rc != 0:
+        raise ValueError(
+            f"column id out of range for num_cols={num_cols} "
+            "(inconsistent sparse file header?)"
+        )
     return t_indptr, t_rows, t_vals

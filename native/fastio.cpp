@@ -85,10 +85,16 @@ static inline const char* parse_double(const char* p, const char* end,
 }
 
 static inline const char* parse_u32(const char* p, const char* end,
-                                    uint32_t* out) {
+                                    uint32_t* out, int* ndigits) {
   uint64_t v = 0;
-  while (p < end && *p >= '0' && *p <= '9') { v = v * 10 + (*p - '0'); p++; }
+  int n = 0;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    p++;
+    n++;
+  }
   *out = (uint32_t)v;
+  *ndigits = n;
   return p;
 }
 
@@ -152,7 +158,15 @@ int64_t lfm_text_parse(const char* path, int64_t* indptr, int32_t* cols,
         q = skip_ws(q, line_end);
         if (q >= line_end) break;
         uint32_t id;
-        q = parse_u32(q, line_end, &id);
+        int ndig;
+        q = parse_u32(q, line_end, &id, &ndig);
+        if (q < line_end && *q == ':' && ndig == 0) {
+          // ':' with no preceding digits (e.g. a line missing its
+          // target, "3:1 4:2"): accepting it would fabricate a
+          // feature-0 entry — fail like the python parser does
+          unmap_file(&mf);
+          return -2;
+        }
         if (q < line_end && *q == ':') {
           q++;
           double v;
@@ -209,12 +223,26 @@ int lfm_text_write(const char* path, const int64_t* indptr,
   if (!f) return -1;
   size_t cap = 1 << 22;
   char* buf = (char*)malloc(cap);
+  if (!buf) { fclose(f); return -1; }
   char* p = buf;
   for (int64_t i = 0; i < n_rows; i++) {
-    // flush when < 1MB slack
-    if ((size_t)(p - buf) > cap - (1 << 20)) {
-      fwrite(buf, 1, (size_t)(p - buf), f);
+    // worst case ~32 bytes per entry (' ' + 10-digit id + ':' + %g) +
+    // target/newline slack; flush — and grow for a single huge row —
+    // BEFORE writing so the row can never overrun the buffer
+    size_t need = 64 + 32 * (size_t)(indptr[i + 1] - indptr[i]);
+    if ((size_t)(p - buf) + need > cap) {
+      size_t used = (size_t)(p - buf);
+      if (used && fwrite(buf, 1, used, f) != used) {
+        free(buf); fclose(f); return -1;
+      }
       p = buf;
+      if (need > cap) {
+        free(buf);
+        cap = need * 2;
+        buf = (char*)malloc(cap);
+        if (!buf) { fclose(f); return -1; }
+        p = buf;
+      }
     }
     p = write_float(p, target[i]);
     for (int64_t j = indptr[i]; j < indptr[i + 1]; j++) {
@@ -225,10 +253,11 @@ int lfm_text_write(const char* path, const int64_t* indptr,
     }
     *p++ = '\n';
   }
-  fwrite(buf, 1, (size_t)(p - buf), f);
+  size_t used = (size_t)(p - buf);
+  int ok = (!used || fwrite(buf, 1, used, f) == used);
   free(buf);
-  fclose(f);
-  return 0;
+  if (fclose(f) != 0) ok = 0;  // flush failure (e.g. ENOSPC)
+  return ok ? 0 : -1;
 }
 
 // ---- CSR -> CSC transpose (counting sort, parallel-friendly layout) ------
@@ -238,12 +267,17 @@ int lfm_csr_transpose(const int64_t* indptr, const int32_t* cols,
                       const float* vals, int64_t n_rows, int64_t n_cols,
                       int64_t* t_indptr, int32_t* t_rows, float* t_vals) {
   int64_t nnz = indptr[n_rows];
-  // count
+  // count (validating: a column id beyond the declared n_cols — e.g. an
+  // inconsistent binary header — must not write out of bounds)
   memset(t_indptr, 0, sizeof(int64_t) * (size_t)(n_cols + 1));
-  for (int64_t e = 0; e < nnz; e++) t_indptr[cols[e] + 1]++;
+  for (int64_t e = 0; e < nnz; e++) {
+    if ((uint32_t)cols[e] >= (uint64_t)n_cols) return -1;
+    t_indptr[cols[e] + 1]++;
+  }
   for (int64_t c = 0; c < n_cols; c++) t_indptr[c + 1] += t_indptr[c];
   // fill (stable in row order)
   int64_t* cursor = (int64_t*)malloc(sizeof(int64_t) * (size_t)n_cols);
+  if (!cursor) return -1;
   memcpy(cursor, t_indptr, sizeof(int64_t) * (size_t)n_cols);
   for (int64_t r = 0; r < n_rows; r++) {
     for (int64_t e = indptr[r]; e < indptr[r + 1]; e++) {

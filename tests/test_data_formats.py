@@ -146,3 +146,22 @@ def test_shuffle_preserves_content(tiny_dataset):
     # every row of b must be a row of a
     for r in b:
         assert any(np.allclose(r, x) for x in a)
+
+
+def test_dataset_explicit_target_range_preserved():
+    """Caller-specified min/max_target (e.g. the training range applied
+    to a narrower test split) must not be overwritten by the observed
+    range."""
+    from libfm_tpu.data.dataset import Dataset
+
+    ds = Dataset(
+        np.array([0, 1], np.int64), np.zeros(1, np.int32),
+        np.ones(1, np.float32), np.array([3.0], np.float32), 1,
+        min_target=1.0, max_target=5.0,
+    )
+    assert ds.min_target == 1.0 and ds.max_target == 5.0
+    ds2 = Dataset(
+        np.array([0, 1], np.int64), np.zeros(1, np.int32),
+        np.ones(1, np.float32), np.array([3.0], np.float32), 1,
+    )
+    assert ds2.min_target == 3.0 and ds2.max_target == 3.0

@@ -89,3 +89,48 @@ def test_native_transpose_matches_python():
     b = _csr_transpose(indptr, cols, vals, n_rows, n_cols)
     for x, y in zip(a, b):
         assert np.allclose(x, y)
+
+
+def test_native_write_huge_row_roundtrip(tmp_path):
+    """A single row whose text exceeds the writer's flush slack must not
+    overflow the buffer (previously heap corruption past ~40K entries)."""
+    from libfm_tpu.data.dataset import Dataset
+
+    n = 60_000
+    ds = Dataset(
+        np.array([0, n], np.int64),
+        np.arange(n, dtype=np.int32),
+        np.full(n, 1.5, np.float32),
+        np.array([2.0], np.float32),
+        n,
+    )
+    p = str(tmp_path / "huge.libfm")
+    ds.to_libfm_text(p)
+    back = Dataset.from_libfm_text(p)
+    assert back.nnz == n
+    np.testing.assert_array_equal(back.cols, ds.cols)
+    np.testing.assert_allclose(back.vals, ds.vals)
+
+
+def test_native_rejects_line_missing_target(tmp_path):
+    """'3:1 4:2' (no target) must fail like the python parser instead of
+    silently fabricating a feature-0 entry."""
+    from libfm_tpu.data.dataset import Dataset
+
+    p = str(tmp_path / "bad.libfm")
+    with open(p, "w") as f:
+        f.write("1.0 0:1 1:1\n3:1 4:2\n")
+    with pytest.raises((ValueError, OSError)):
+        Dataset.from_libfm_text(p)
+
+
+def test_native_transpose_rejects_out_of_range_cols():
+    from libfm_tpu.native import fastdata
+
+    if not fastdata.available():
+        pytest.skip("native lib unavailable")
+    indptr = np.array([0, 2], np.int64)
+    cols = np.array([0, 7], np.int32)  # 7 >= num_cols=3
+    vals = np.ones(2, np.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        fastdata.csr_transpose(indptr, cols, vals, 1, 3)
