@@ -8,7 +8,7 @@ Two layouts feed the compute kernels:
    contribution they make to the model (w[id]*0, v[id]*0) vanishes —
    no masks needed in the hot loop.
 
-2. `SweepLayout` — flat entry arrays for the ALS/MCMC coordinate sweeps:
+2. `conflict_free_blocks` — the ALS/MCMC coordinate-sweep partition:
    a CSC ordering (entries sorted by feature) sliced into conflict-free
    feature blocks, plus the row-sorted CSR ordering used to rebuild the
    per-case q caches. This is the device-friendly restatement of the
@@ -55,7 +55,11 @@ class BatchedCSR:
 
 
 def pad_rows(ds: Dataset, max_nnz: int | None = None, align: int = 8):
-    """Pad every row to a common length. Returns (ids[n,L], vals[n,L])."""
+    """Pad every row to a common length. Returns (ids[n,L], vals[n,L]).
+
+    Rows longer than an explicit max_nnz are TRUNCATED (keeping the
+    first max_nnz entries, like the streaming reader); previously such
+    rows crashed the scatter with an opaque IndexError."""
     lengths = np.diff(ds.indptr).astype(np.int64)
     L = int(lengths.max()) if max_nnz is None and len(lengths) else (max_nnz or 1)
     L = max(1, _round_up(L, align))
@@ -65,8 +69,9 @@ def pad_rows(ds: Dataset, max_nnz: int | None = None, align: int = 8):
     # scatter entries into the padded layout
     row = np.repeat(np.arange(n, dtype=np.int64), lengths)
     offs = np.arange(ds.nnz, dtype=np.int64) - np.repeat(ds.indptr[:-1], lengths)
-    ids[row, offs] = ds.cols
-    vals[row, offs] = ds.vals
+    keep = offs < L
+    ids[row[keep], offs[keep]] = ds.cols[keep]
+    vals[row[keep], offs[keep]] = ds.vals[keep]
     return ids, vals
 
 
@@ -273,43 +278,3 @@ def _blocks_from_feature_sets(t_indptr, t_rows, t_vals, feature_sets):
             )
         )
     return out
-
-
-@dataclass
-class SweepLayout:
-    """Everything the ALS/MCMC engine needs, device-ready.
-
-    CSR ordering (row-sorted flat entries) for q-cache rebuilds and
-    predictions; conflict-free blocks for the coordinate draws.
-    """
-
-    # row-sorted flat entries (CSR order)
-    csr_rows: np.ndarray  # int32 [nnz]
-    csr_cols: np.ndarray  # int32 [nnz]
-    csr_vals: np.ndarray  # float32 [nnz]
-    blocks: list  # list[FeatureBlock]
-    num_rows: int
-    num_features: int
-    # features never observed in training (posterior == prior draws)
-    unobserved: np.ndarray  # int32
-
-    @classmethod
-    def build(cls, ds: Dataset) -> "SweepLayout":
-        blocks = conflict_free_blocks(ds)
-        observed = (
-            np.concatenate([b.features for b in blocks])
-            if blocks
-            else np.empty(0, np.int32)
-        )
-        mask = np.ones(ds.num_features, dtype=bool)
-        mask[observed] = False
-        unobserved = np.nonzero(mask)[0].astype(np.int32)
-        return cls(
-            csr_rows=ds.row_of_entry,
-            csr_cols=ds.cols.astype(np.int32),
-            csr_vals=ds.vals.astype(np.float32),
-            blocks=blocks,
-            num_rows=ds.num_rows,
-            num_features=ds.num_features,
-            unobserved=unobserved,
-        )

@@ -440,6 +440,11 @@ class MCMCLearner:
         # libfm.cpp:326-365 — set via set_regularization().
         self._init_w_lambda = cfg.regw
         self._init_v_lambda = cfg.regv
+        # w0 prior precision; set_regularization overrides it (the
+        # reference sets fm.reg0 = reg[0] in EVERY arity case,
+        # libfm.cpp:332-357, including the per-group one the CLI cannot
+        # express through FMConfig)
+        self.reg0 = cfg.reg0
         self._w_lambda_vec = None
         self._v_lambda_vec = None
         self.history: list = []
@@ -459,11 +464,15 @@ class MCMCLearner:
         k = self.cfg.num_factors
         if len(reg) == 0:
             self._init_w_lambda, self._init_v_lambda = 0.0, 0.0
+            self.reg0 = 0.0
         elif len(reg) == 1:
             self._init_w_lambda, self._init_v_lambda = reg[0], reg[0]
+            self.reg0 = reg[0]
         elif len(reg) == 3:
             self._init_w_lambda, self._init_v_lambda = reg[1], reg[2]
+            self.reg0 = reg[0]
         elif len(reg) == 1 + 2 * num_groups:
+            self.reg0 = reg[0]
             self._w_lambda_vec = np.asarray(reg[1 : 1 + num_groups])
             self._v_lambda_vec = np.repeat(
                 np.asarray(reg[1 + num_groups :])[:, None], k, axis=1
@@ -710,6 +719,7 @@ class MCMCLearner:
         alpha_0, gamma_0 = self.alpha_0, self.gamma_0
         beta_0, mu_0 = self.beta_0, self.mu_0
         w0_mean_0 = self.w0_mean_0
+        reg0 = self.reg0
         min_t, max_t = self.min_target, self.max_target
 
         def draw_all(state: MCMCState, statics):
@@ -739,8 +749,8 @@ class MCMCLearner:
             if cfg.use_bias:
                 key, k1 = jax.random.split(key)
                 acc = jnp.sum(e) - nc_train * w0
-                sigma_sqr = 1.0 / (cfg.reg0 + alpha * nc_train)
-                mean = -sigma_sqr * (alpha * acc - w0_mean_0 * cfg.reg0)
+                sigma_sqr = 1.0 / (reg0 + alpha * nc_train)
+                mean = -sigma_sqr * (alpha * acc - w0_mean_0 * reg0)
                 prop = (
                     samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
                     if do_sample
@@ -1201,6 +1211,12 @@ class ALSLearner(MCMCLearner):
 
 
 def _masked_rmse_mae(pred_sum, y, mask, min_t, max_t, normalizer):
+    # metric reductions run in float32 regardless of model dtype — a
+    # bf16 mask.sum() is ~0.5% off by 10K cases (same convention as
+    # _masked_auc); a no-op cast for f32/f64 models
+    pred_sum = pred_sum.astype(jnp.result_type(pred_sum.dtype, jnp.float32))
+    y = y.astype(pred_sum.dtype)
+    mask = mask.astype(pred_sum.dtype)
     p = jnp.clip(pred_sum * normalizer, min_t, max_t)
     err = (p - y) * mask
     n = jnp.maximum(mask.sum(), 1.0)
@@ -1232,6 +1248,10 @@ def _masked_auc(p, y, mask):
 
 
 def _masked_acc_ll(pred_sum, y, mask, normalizer):
+    # float32 reductions regardless of model dtype (see _masked_rmse_mae)
+    pred_sum = pred_sum.astype(jnp.result_type(pred_sum.dtype, jnp.float32))
+    y = y.astype(pred_sum.dtype)
+    mask = mask.astype(pred_sum.dtype)
     p = pred_sum * normalizer
     correct = (((p >= 0.5) & (y > 0.0)) | ((p < 0.5) & (y < 0.0))).astype(p.dtype)
     n = jnp.maximum(mask.sum(), 1.0)

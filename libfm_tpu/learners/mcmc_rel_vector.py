@@ -1013,8 +1013,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         if use_bias:
             key, k1 = jax.random.split(key)
             acc = jnp.sum(e) - nc_train * w0
-            sigma_sqr = 1.0 / (cfg.reg0 + alpha * nc_train)
-            mean = -sigma_sqr * (alpha * acc - learner.w0_mean_0 * cfg.reg0)
+            sigma_sqr = 1.0 / (learner.reg0 + alpha * nc_train)
+            mean = -sigma_sqr * (alpha * acc - learner.w0_mean_0 * learner.reg0)
             prop = (
                 samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
                 if do_sample else mean

@@ -1350,8 +1350,8 @@ class MCMCVectorLearner(MCMCLearner):
             if cfg.use_bias:
                 key, k1 = jax.random.split(key)
                 acc = jnp.sum(e) - nc_train * w0
-                sigma_sqr = 1.0 / (cfg.reg0 + alpha * nc_train)
-                mean = -sigma_sqr * (alpha * acc - self.w0_mean_0 * cfg.reg0)
+                sigma_sqr = 1.0 / (self.reg0 + alpha * nc_train)
+                mean = -sigma_sqr * (alpha * acc - self.w0_mean_0 * self.reg0)
                 prop = (
                     samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
                     if do_sample else mean

@@ -283,9 +283,11 @@ class SGDLearner:
                 self.rlog.log("rmse_train", tr)
                 # reference SGD logs user-CPU learn time and eval time
                 # (fm_learn_sgd_element.h:55-74, fm_learn.h:126,149);
-                # time_learn4 additionally records wall seconds (the
-                # meaningful quantity when the work runs on a device)
+                # time_learn2 is the clock() analog (process-CPU) and
+                # time_learn4 records wall seconds (the meaningful
+                # quantity when the work runs on a device)
                 self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn2", c1[1] - c0[1])
                 self.rlog.log("time_learn4", dt)
                 self.rlog.log("time_pred", c2[0] - c1[0])
                 self.rlog.new_line()
@@ -353,6 +355,7 @@ class SGDLearner:
                 else:
                     self.rlog.log("accuracy", te)
                 self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn2", c1[1] - c0[1])
                 self.rlog.log("time_learn4", dt)
                 self.rlog.log("time_pred", c2[0] - c1[0])
                 self.rlog.new_line()

@@ -42,8 +42,15 @@ def gaussian_or_mean(key, mean, stdev):
 
 def gamma(key, alpha, beta):
     """Gamma(shape=alpha, rate=beta) — the reference's ran_gamma(alpha,
-    beta) = ran_gamma(alpha)/beta (/root/reference/src/util/random.h:144)."""
-    return jax.random.gamma(key, alpha) / beta
+    beta) = ran_gamma(alpha)/beta (/root/reference/src/util/random.h:144).
+
+    alpha is broadcast against beta BEFORE sampling: jax.random.gamma
+    takes its sample shape from alpha alone, so a [G,1] alpha with a
+    [G,k] rate would silently reuse ONE standard-gamma variate across
+    all k columns (perfectly correlated draws — not a draw from the
+    joint conditional)."""
+    shape = jnp.broadcast_shapes(jnp.shape(alpha), jnp.shape(beta))
+    return jax.random.gamma(key, jnp.broadcast_to(alpha, shape)) / beta
 
 
 def left_truncated_gaussian(key, left, mean, stdev):
@@ -83,21 +90,37 @@ def normal_pdf(x):
     return jnp.exp(-0.5 * x * x) / jnp.sqrt(2.0 * jnp.pi)
 
 
+def _normal_hazard(a):
+    """phi(a) / (1 - Phi(a)), stable for every a.
+
+    The naive 1 - cdf_gaussian(-a) cancels catastrophically once
+    a >~ 5.3 in float32 — the clamped denominator then produces a HUGE
+    but finite expectation that slips past the finite_or rejection rule
+    and destroys the residual cache (the reference's double math only
+    fails at |a| > 8.2 and produces inf, which its guard catches).
+    erfc keeps the tail exact to ~a = 10; beyond that the asymptotic
+    expansion takes over (error < 1e-3 at the switch, shrinking fast)."""
+    direct = normal_pdf(a) / jnp.maximum(
+        0.5 * jax.scipy.special.erfc(a * (1.0 / jnp.sqrt(2.0))), 1e-38
+    )
+    a_safe = jnp.where(a > 6.0, a, 6.0)
+    asym = a_safe + 1.0 / a_safe - 2.0 / a_safe**3 + 10.0 / a_safe**5
+    return jnp.where(a > 6.0, asym, direct)
+
+
 def left_tn_expectation(mu):
-    """E[z | z ~ N(mu, 1), z >= 0] — the ALS (no-sampling) latent-target
-    expectation, matching /root/reference/src/libfm/src/
-    fm_learn_mcmc_simultaneous.h:177-182 (which uses 3.141 for pi and the
-    polynomial Phi; we use exact constants)."""
-    phi = normal_pdf(mu)
-    Phi_m = cdf_gaussian(-mu)
-    return mu + phi / jnp.maximum(1.0 - Phi_m, 1e-30)
+    """E[z | z ~ N(mu, 1), z >= 0] = mu + hazard(-mu) — the ALS
+    (no-sampling) latent-target expectation, matching
+    /root/reference/src/libfm/src/fm_learn_mcmc_simultaneous.h:177-182
+    (which uses 3.141 for pi and the polynomial Phi; we use exact
+    constants and a tail-stable hazard)."""
+    return mu + _normal_hazard(-mu)
 
 
 def right_tn_expectation(mu):
-    """E[z | z ~ N(mu, 1), z <= 0], matching reference lines 186-192."""
-    phi = normal_pdf(mu)
-    Phi_m = cdf_gaussian(-mu)
-    return mu - phi / jnp.maximum(Phi_m, 1e-30)
+    """E[z | z ~ N(mu, 1), z <= 0] = mu - hazard(mu), matching reference
+    lines 186-192."""
+    return mu - _normal_hazard(mu)
 
 
 def finite_or(new, old):

@@ -165,3 +165,20 @@ def test_dataset_explicit_target_range_preserved():
         np.ones(1, np.float32), np.array([3.0], np.float32), 1,
     )
     assert ds2.min_target == 3.0 and ds2.max_target == 3.0
+
+
+def test_pad_rows_truncates_at_explicit_max_nnz():
+    from libfm_tpu.data.batching import pad_rows
+    from libfm_tpu.data.dataset import Dataset
+
+    ds = Dataset(
+        np.array([0, 10, 12], np.int64),
+        np.arange(12, dtype=np.int32),
+        np.arange(1, 13, dtype=np.float32),
+        np.array([1.0, 2.0], np.float32),
+        12,
+    )
+    ids, vals = pad_rows(ds, max_nnz=8, align=8)
+    assert ids.shape == (2, 8)
+    np.testing.assert_array_equal(ids[0], np.arange(8))
+    np.testing.assert_array_equal(ids[1][:2], [10, 11])

@@ -202,3 +202,17 @@ def test_mcmc_classification_reports_auc(ctr_small):
     )
     l.learn(train, test)
     assert 0.5 < l.history[-1]["auc_all"] <= 1.0
+
+
+def test_group_regularization_sets_w0_prior():
+    """The reference sets fm.reg0 = reg[0] for EVERY -regular arity,
+    including the per-group one (libfm.cpp:332-357)."""
+    from libfm_tpu.learners.mcmc import MCMCLearner
+
+    cfg = FMConfig(num_features=4, num_factors=2)
+    m = MCMCLearner(cfg, num_iter=1, verbose=False,
+                    attr_group=np.array([0, 0, 1, 1], np.int32))
+    m.set_regularization([7.0, 1.0, 2.0, 3.0, 4.0], num_groups=2)
+    assert m.reg0 == 7.0
+    m.set_regularization([5.0], num_groups=2)
+    assert m.reg0 == 5.0

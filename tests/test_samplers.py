@@ -74,3 +74,37 @@ def test_finite_or_counts():
     out, n = samplers.finite_or(new, old)
     assert np.allclose(np.asarray(out), [1.0, 9.0, 3.0, 9.0])
     assert int(n) == 2
+
+
+def test_gamma_broadcasts_alpha_against_rate():
+    """A [G,1] shape with a [G,k] rate must draw k INDEPENDENT variates
+    per group — jax.random.gamma takes its sample shape from alpha, so
+    without broadcasting all k columns would share one variate (the
+    v_lambda hyperprior draw pattern)."""
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    alpha = jnp.full((3, 1), 5.0)
+    beta = jnp.full((3, 4), 2.0)
+    draws = samplers.gamma(key, alpha, beta)
+    assert draws.shape == (3, 4)
+    # constant rate: identical columns would mean a shared variate
+    assert float(jnp.std(draws[0])) > 0.0
+    assert float(jnp.std(draws[1])) > 0.0
+
+
+def test_tn_expectations_stable_in_the_tail():
+    """E[z | z>=0, N(mu,1)] must stay finite and sane for deep-tail mu —
+    the naive 1-Phi(-mu) form produced ~1e23 'finite garbage' beyond
+    mu < -5.4 in f32, slipping past the NaN/Inf rejection rule."""
+    mus = jnp.asarray([-50.0, -10.0, -6.0, -5.0, 0.0, 5.0, 10.0, 50.0])
+    left = samplers.left_tn_expectation(mus)
+    right = samplers.right_tn_expectation(-mus)
+    assert bool(jnp.isfinite(left).all())
+    # E[z | z >= 0] is positive, below mu + 1, and ~1/|mu| deep left
+    assert bool((left > 0.0).all())
+    assert float(left[0]) < 0.05  # mu=-50: hazard ~ 1/50
+    assert abs(float(left[4]) - 0.7978845) < 1e-4  # mu=0: sqrt(2/pi)
+    assert abs(float(left[-1]) - 50.0) < 1e-3  # mu=50: ~mu
+    # symmetry: E[z|z<=0, mu] = -E[z|z>=0, -mu]
+    assert bool(jnp.allclose(right, -left, atol=1e-4))
