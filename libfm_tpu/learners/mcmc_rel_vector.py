@@ -75,6 +75,13 @@ and the parallel joint draws equal a sequential scan — the same
 argument as the flat engine. Same-shape blocks are stacked and run
 under one lax.scan so compile size stays bounded when a relation
 decomposes into many small blocks.
+
+A `(data, model)` mesh on the learner shards the per-case state the
+same way as the flat engine: A = [e | Q] and the chunked per-case
+arrays over `data`, w/V (and the draw math that consumes them) over
+`model`; the nb-sized per-block-row caches replicate (nb << num_cases
+in the fat-block regime by definition). Parity is asserted in
+tests/test_mcmc_rel_vector.py::test_bs_vector_sharded_matches_single.
 """
 
 from __future__ import annotations
@@ -342,6 +349,29 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     use_linear = cfg.use_linear
     use_bias = cfg.use_bias
 
+    # ---- mesh / sharding plan (mirrors the flat engine's): the per-case
+    # table A and the chunked per-case arrays shard over `data`; w/V
+    # row-shard over `model` (TP); the per-block-row caches (nb-sized)
+    # stay replicated — in the fat-block regime nb << num_cases by
+    # construction. XLA's SPMD partitioner lowers the cross-shard
+    # gathers/scatters to collectives.
+    mesh = learner.mesh
+    D = M = 1
+    tp = False
+    sh_model1 = sh_model2 = sh_A = sh_c3 = sh_c2 = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        D = mesh.shape["data"]
+        M = mesh.shape.get("model", 1)
+        tp = M > 1
+        sh_model1 = NamedSharding(mesh, P("model")) if tp else repl
+        sh_model2 = NamedSharding(mesh, P("model", None)) if tp else repl
+        sh_A = NamedSharding(mesh, P("data", None)) if D > 1 else repl
+        sh_c3 = NamedSharding(mesh, P(None, "data", None)) if D > 1 else repl
+        sh_c2 = NamedSharding(mesh, P(None, "data")) if D > 1 else repl
+
     attr_group_np = learner.attr_group_np
     if attr_group_np is None:
         attr_group_np = np.zeros(n, dtype=np.int32)
@@ -350,10 +380,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         np.bincount(attr_group_np, minlength=G).astype(np.float64), dtype=f
     )
     # the dummy parameter row n absorbs padded-feature draws; `valid`
-    # masks it out of the hyperprior group statistics
-    attr_group = jnp.asarray(np.pad(attr_group_np, (0, 1)))
+    # masks it out of the hyperprior group statistics. Under TP the
+    # parameter table pads to a multiple of the model axis (rows n..R-1
+    # sit in no block; only row n is ever written, by padded draws).
+    R = ((n + 1 + M - 1) // M) * M if tp else n + 1
+    attr_group = jnp.asarray(np.pad(attr_group_np, (0, R - n)))
     valid = jnp.asarray(
-        (np.arange(n + 1) < n).astype(np.float64), dtype=f
+        (np.arange(R) < n).astype(np.float64), dtype=f
     )
 
     nc_train, nc_test = train.num_rows, test.num_rows
@@ -438,6 +471,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             )
         )
         MAIN_F.append(F)
+    if mesh is not None:  # A rows must divide evenly over the data axis
+        slot_pad_max = ((slot_pad_max + D - 1) // D) * D
     A_rows = nc_pad + slot_pad_max
 
     # re-point relation case-gather sentinels at the first dummy row
@@ -487,6 +522,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     def _chunk_case_rows(case_rows):
         nb, Lb = case_rows.shape
         RC = max(1, min(nb, (128 << 20) // max(1, Lb * (1 + k) * 4)))
+        if mesh is not None:  # RC rows shard over the data axis
+            RC = max(D, (RC // D) * D)
         pad = (-nb) % RC
         if pad:
             case_rows = np.concatenate(
@@ -533,9 +570,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         w0_init = jnp.asarray(learner.warm_start.w0, dtype=f)
     if not use_linear:
         w = jnp.zeros((n,), f)
-    # dummy row n for padded-feature draws (never read back)
-    w = jnp.pad(w, (0, 1))
-    V = jnp.pad(V, ((0, 1), (0, 0)))
+    # dummy row n for padded-feature draws (never read back); under TP
+    # the extra rows pad w/V to a model-axis multiple (R)
+    w = jnp.pad(w, (0, R - n))
+    V = jnp.pad(V, ((0, R - n), (0, 0)))
+    if mesh is not None:
+        w = jax.device_put(w, sh_model1)
+        V = jax.device_put(V, sh_model2)
     w_lambda = (
         jnp.asarray(learner._w_lambda_vec, dtype=f)
         if learner._w_lambda_vec is not None
@@ -557,6 +598,17 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         attr_group=attr_group, num_attr_per_group=num_attr_per_group,
         unobserved=unobserved, valid=valid,
     )
+    if mesh is not None:
+        # per-case chunk arrays shard over `data` (everything else —
+        # block stacks, nb-sized caches, hyperprior tables — replicates)
+        for key3 in ("tr_ids", "tr_pv", "te_ids", "te_pv"):
+            statics[key3] = jax.device_put(statics[key3], sh_c3)
+        for key2 in ("y_tr_ch", "mask_tr_ch"):
+            statics[key2] = jax.device_put(statics[key2], sh_c2)
+        for dr in statics["dev_rels"]:
+            dr["case_rows"] = jax.device_put(dr["case_rows"], sh_c3)
+            dr["map_tr"] = jax.device_put(dr["map_tr"], sh_c2)
+            dr["map_te"] = jax.device_put(dr["map_te"], sh_c2)
 
     # ---------------- prediction / refresh ----------------
     def _rel_scores(w, V, S):
@@ -1200,6 +1252,12 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     start_iter = 0
     if learner.checkpoint_path:
         state, start_iter = learner._maybe_restore(state)
+    if mesh is not None:
+        # restore precedes the sharded placement (host leaves from a
+        # checkpoint land with the same plan as a fresh init)
+        state["A"] = jax.device_put(state["A"], sh_A)
+        state["w"] = jax.device_put(state["w"], sh_model1)
+        state["V"] = jax.device_put(state["V"], sh_model2)
     for it in range(start_iter, learner.num_iter):
         c0 = iter_clocks()
         state, metrics = iteration(state, jnp.asarray(it, dtype=jnp.float32), statics)
@@ -1213,6 +1271,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         ):
             learner._save_checkpoint(state, it + 1)
 
+    learner._vector_state = state
     learner._final_state = MCMCState(
         w0=state["w0"], w=state["w"][:n], vt=state["V"][:n].T,
         alpha=state["alpha"], w_mu=state["w_mu"],

@@ -312,26 +312,24 @@ class MCMCVectorLearner(MCMCLearner):
                 # FAT blocks: the BS vector engine keeps the VLDB'13
                 # dedup (per-feature cost O(nnz(block))) while drawing
                 # joint (w_j, v_j) vectors from per-block-row caches
-                # (learners/mcmc_rel_vector.py). The exact per-factor BS
-                # engine remains the fallback for meshes (BS sharding is
-                # not wired) and heavily skewed joins (its cache build
-                # pads per-block-row case lists to the row maximum).
+                # (learners/mcmc_rel_vector.py); it honours `mesh` (A and
+                # the per-case chunks shard over `data`, w/V over
+                # `model`). The exact per-factor BS engine remains the
+                # fallback for heavily skewed joins (its cache build pads
+                # per-block-row case lists to the row maximum).
                 from libfm_tpu.learners.mcmc_rel_vector import (
                     bs_vector_skew,
                     learn_relational_vector,
                 )
 
-                if (
-                    self.bs_vector
-                    and self.mesh is None
-                    and bs_vector_skew(train) <= 16.0
-                ):
+                if self.bs_vector and bs_vector_skew(train) <= 16.0:
                     self.relational_mode = "bs_vector"
                     return learn_relational_vector(self, train, test)
                 if self.mesh is not None and self.verbose:
                     print(
-                        "WARNING: fat relational blocks run on the exact "
-                        "BS engine, which is single-device; -mesh ignored."
+                        "WARNING: skewed/disabled fat relational blocks "
+                        "run on the exact BS engine, which is "
+                        "single-device; -mesh ignored."
                     )
                 self.relational_mode = "bs"
                 return self._learn_relational(train, test)

@@ -181,6 +181,43 @@ def test_bs_vector_classification_matches_expansion_band():
     assert np.isfinite(ha[-1]["auc_all"])
 
 
+def test_bs_vector_sharded_matches_single():
+    """BS vector engine on a (data=2, model=4) mesh: A and the per-case
+    chunks shard over `data`, w/V row-shard over `model`; the trajectory
+    matches the single-device run (same math, different partitioning)."""
+    from libfm_tpu.parallel.mesh import make_mesh
+
+    train, test, n_feat = _general_bs_problem(seed=5, n_cases=400)
+    cfg = FMConfig(num_features=n_feat, num_factors=4)
+
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=6, seed=3, verbose=False)
+    )
+    a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+
+    mesh = make_mesh(data=2, model=4)
+    b = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=6, seed=3, verbose=False, mesh=mesh)
+    )
+    b.learn(train, test)
+    assert b.relational_mode == "bs_vector"
+
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+
+    # V genuinely row-shards over the 4-way model axis, A over data
+    V = b._vector_state["V"]
+    R = V.shape[0]
+    assert R % 4 == 0 and R >= n_feat + 1
+    assert {s.data.shape[0] for s in V.addressable_shards} == {R // 4}
+    A = b._vector_state["A"]
+    assert {s.data.shape[0] for s in A.addressable_shards} == {
+        A.shape[0] // 2
+    }
+
+
 def test_bs_vector_skew_fallback():
     """A join where one block row absorbs nearly all cases (and the
     relation has many rows) must fall back to the exact BS engine — the
