@@ -63,13 +63,16 @@ def pad_rows(ds: Dataset, max_nnz: int | None = None, align: int = 8):
     lengths = np.diff(ds.indptr).astype(np.int64)
     L = int(lengths.max()) if max_nnz is None and len(lengths) else (max_nnz or 1)
     L = max(1, _round_up(L, align))
+    # truncate at the REQUESTED max_nnz, not the align-rounded width —
+    # keeps in-core and streamed passes over the same data identical
+    cut = L if max_nnz is None else max(1, min(max_nnz, L))
     n = ds.num_rows
     ids = np.zeros((n, L), dtype=np.int32)
     vals = np.zeros((n, L), dtype=np.float32)
     # scatter entries into the padded layout
     row = np.repeat(np.arange(n, dtype=np.int64), lengths)
     offs = np.arange(ds.nnz, dtype=np.int64) - np.repeat(ds.indptr[:-1], lengths)
-    keep = offs < L
+    keep = offs < cut
     ids[row[keep], offs[keep]] = ds.cols[keep]
     vals[row[keep], offs[keep]] = ds.vals[keep]
     return ids, vals

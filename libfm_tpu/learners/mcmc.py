@@ -462,6 +462,10 @@ class MCMCLearner:
         (1 + 2*num_groups) values (/root/reference/src/libfm/libfm.cpp:
         326-365)."""
         k = self.cfg.num_factors
+        # every arity resets the per-group vectors (engines consult them
+        # first when not None); the per-group branch re-assigns them
+        self._w_lambda_vec = None
+        self._v_lambda_vec = None
         if len(reg) == 0:
             self._init_w_lambda, self._init_v_lambda = 0.0, 0.0
             self.reg0 = 0.0

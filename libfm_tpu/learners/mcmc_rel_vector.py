@@ -421,6 +421,11 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     # SLOT_PAD-1 are zero dummy rows (unique ids for padded main slots,
     # sentinel for the relation case-gather layouts).
     CU = 1 << 17
+    if mesh is not None and D > 1:
+        # the [*, CU, ...] per-case chunks shard over the data axis, and
+        # device_put requires exact divisibility — round CU to a D
+        # multiple (a no-op for power-of-two axes)
+        CU = max(D, (CU // D) * D)
     nc_pad = ((max(nc_train, 1) + CU - 1) // CU) * CU
 
     # main slot buckets, chunked for lax.scan like the flat engine
@@ -1271,7 +1276,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         ):
             learner._save_checkpoint(state, it + 1)
 
-    learner._vector_state = state
+    # keep the parameter-table state for introspection but NOT the big
+    # per-case A table (see mcmc_vector.py) — record its sharding evidence
+    learner._vector_state = {k_: v_ for k_, v_ in state.items() if k_ != "A"}
+    learner._vector_state["A_shape"] = state["A"].shape
+    learner._vector_state["A_shard_shapes"] = {
+        s.data.shape for s in state["A"].addressable_shards
+    }
     learner._final_state = MCMCState(
         w0=state["w0"], w=state["w"][:n], vt=state["V"][:n].T,
         alpha=state["alpha"], w_mu=state["w_mu"],

@@ -1601,7 +1601,15 @@ class MCMCVectorLearner(MCMCLearner):
                 and (it + 1) % self.checkpoint_every == 0
             ):
                 self._save_checkpoint(state, it + 1)
-        self._vector_state = state
+        # test/debug introspection: keep the parameter-table state but
+        # NOT the big per-case A table (GBs on large runs — pinning it
+        # past learn() would starve a follow-up learn/predict of HBM);
+        # record just its sharding evidence
+        self._vector_state = {k_: v_ for k_, v_ in state.items() if k_ != "A"}
+        self._vector_state["A_shape"] = state["A"].shape
+        self._vector_state["A_shard_shapes"] = {
+            s.data.shape for s in state["A"].addressable_shards
+        }
         from libfm_tpu.learners.mcmc import MCMCState
 
         self._final_state = MCMCState(

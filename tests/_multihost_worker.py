@@ -98,6 +98,19 @@ for b in e_batches:
 rmse = float(np.sqrt(sq / max(cnt, 1.0)))
 print(f"FINAL_RMSE={rmse:.6f}", flush=True)
 
+# ---- MCMC vector engine over a 2-process (data, model) mesh ----
+# the north-star config #5 shape: V row-sharded across hosts (TP) while
+# A shards over data; both ranks must produce the identical trajectory
+from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+tp_mesh = make_mesh(data=2, model=4)
+mc = MCMCVectorLearner(
+    FMConfig(num_features=train.num_features, num_factors=4),
+    num_iter=3, seed=3, verbose=False, mesh=tp_mesh,
+)
+mc.learn(train, test)
+print(f"MCMC_FINAL={mc.history[-1]['test_this']:.6f}", flush=True)
+
 # ---- end-to-end CLI drive over the same 2-process mesh ----
 trp = f"/tmp/mh{port}_{rank}.train"
 tep = f"/tmp/mh{port}_{rank}.test"

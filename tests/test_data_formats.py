@@ -182,3 +182,9 @@ def test_pad_rows_truncates_at_explicit_max_nnz():
     assert ids.shape == (2, 8)
     np.testing.assert_array_equal(ids[0], np.arange(8))
     np.testing.assert_array_equal(ids[1][:2], [10, 11])
+    # the cut is at the REQUESTED max_nnz, not the align-rounded width
+    # (parity with StreamingDataset.iter_batches truncation)
+    ids5, vals5 = pad_rows(ds, max_nnz=5, align=8)
+    assert ids5.shape == (2, 8)
+    np.testing.assert_array_equal(ids5[0], [0, 1, 2, 3, 4, 0, 0, 0])
+    np.testing.assert_array_equal(vals5[0], [1, 2, 3, 4, 5, 0, 0, 0])

@@ -214,5 +214,10 @@ def test_group_regularization_sets_w0_prior():
                     attr_group=np.array([0, 0, 1, 1], np.int32))
     m.set_regularization([7.0, 1.0, 2.0, 3.0, 4.0], num_groups=2)
     assert m.reg0 == 7.0
+    assert m._w_lambda_vec is not None
     m.set_regularization([5.0], num_groups=2)
     assert m.reg0 == 5.0
+    # a later scalar arity must CLEAR the per-group vectors (engines
+    # consult the vectors first when not None)
+    assert m._w_lambda_vec is None and m._v_lambda_vec is None
+    assert m._init_w_lambda == 5.0 and m._init_v_lambda == 5.0

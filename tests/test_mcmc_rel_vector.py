@@ -212,9 +212,8 @@ def test_bs_vector_sharded_matches_single():
     R = V.shape[0]
     assert R % 4 == 0 and R >= n_feat + 1
     assert {s.data.shape[0] for s in V.addressable_shards} == {R // 4}
-    A = b._vector_state["A"]
-    assert {s.data.shape[0] for s in A.addressable_shards} == {
-        A.shape[0] // 2
+    assert b._vector_state["A_shard_shapes"] == {
+        (b._vector_state["A_shape"][0] // 2, b._vector_state["A_shape"][1])
     }
 
 

@@ -64,6 +64,18 @@ def test_two_process_sharded_sgd_matches_single():
     ]
     assert len(cli_finals) == 2 and cli_finals[0] == cli_finals[1], cli_finals
 
+    # MCMC vector engine over the 2-process (data=2, model=4) TP mesh:
+    # V row-sharded ACROSS HOSTS (north-star config #5); both ranks
+    # produced the identical trajectory
+    mcmcs = [
+        float(line.split("=")[1])
+        for rc, out, err in outs
+        for line in out.splitlines()
+        if line.startswith("MCMC_FINAL=")
+    ]
+    assert len(mcmcs) == 2
+    assert abs(mcmcs[0] - mcmcs[1]) < 1e-6
+
     # single-process baseline: identical data/config/seed on 1 device
     from libfm_tpu.data.synth import movielens_like
     from libfm_tpu.learners.sgd import SGDLearner
@@ -79,6 +91,18 @@ def test_two_process_sharded_sgd_matches_single():
     )
     hist = l.learn(train, test)
     assert abs(hist[-1][1] - rmses[0]) < 1e-3, (hist[-1][1], rmses[0])
+
+    # ... and the 2-process TP MCMC matches the single-process engine
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    mc = MCMCVectorLearner(
+        FMConfig(num_features=train.num_features, num_factors=4),
+        num_iter=3, seed=3, verbose=False,
+    )
+    mc.learn(train, test)
+    assert abs(mc.history[-1]["test_this"] - mcmcs[0]) < 2e-3, (
+        mc.history[-1]["test_this"], mcmcs[0],
+    )
 
 
 def test_make_global_array_trailing_dim_sharding():
