@@ -181,6 +181,91 @@ def test_bs_vector_classification_matches_expansion_band():
     assert np.isfinite(ha[-1]["auc_all"])
 
 
+@pytest.mark.parametrize("trial", [0, 3, 5, 13, 17])
+def test_bs_vector_randomized_matches_expansion(trial):
+    """Randomized differential check (5 of the 40-config fuzz sweep that
+    validated the engine): random relation counts/widths/cardinalities,
+    one-hot and gaussian values, with/without a main table, k in
+    {1,2,4,8}, regression and classification, ALS — the BS vector
+    trajectory must equal the flat engine on the materialised join.
+    (Configs with attr groups are excluded: groups change the
+    conflict-free partition, so the two engines sweep in different
+    orders — verified to converge to the same fixed point, but not
+    trajectory-comparable.)"""
+    from libfm_tpu.data.relation import expand_join
+
+    rng = np.random.default_rng(1000 + trial)
+    n_rel = rng.integers(1, 3)
+    n_main = int(rng.choice([0, 4, 7]))
+    n_cases = int(rng.integers(80, 400))
+    rels, offs = [], n_main
+    for _ in range(n_rel):
+        nb = int(rng.integers(3, 20))
+        W = int(rng.integers(1, 6))
+        m = int(rng.integers(2, 7))
+        c = rng.integers(0, m, (nb, W))
+        cols = (np.arange(W)[None, :] * m + c).astype(np.int32)
+        vals = rng.standard_normal((nb, W)).astype(np.float32)
+        if rng.random() < 0.3:
+            vals = np.ones_like(vals)
+        rd = RelationData(
+            np.arange(nb + 1, dtype=np.int64) * W, cols.ravel(),
+            vals.ravel(), W * m,
+        )
+        rd.attr_offset = offs
+        offs += W * m
+        rels.append(rd)
+    n_feat = offs
+    y = rng.standard_normal(n_cases).astype(np.float32)
+    maps = [
+        rng.integers(0, rd.num_cases, n_cases).astype(np.int32) for rd in rels
+    ]
+    split = max(10, n_cases // 4)
+
+    def build(sl):
+        nc = len(y[sl])
+        if n_main:
+            main = rng.integers(0, n_main, n_cases).astype(np.int32)[sl]
+            ds = Dataset(
+                np.arange(nc + 1, dtype=np.int64), main,
+                np.ones(nc, np.float32), y[sl], n_main,
+            )
+        else:
+            ds = Dataset(
+                np.zeros(nc + 1, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.float32), y[sl], 0,
+            )
+        ds.relations = [
+            RelationJoin(rd, mp[sl]) for rd, mp in zip(rels, maps)
+        ]
+        return ds
+
+    train, test = build(slice(split, None)), build(slice(None, split))
+    k = int(rng.choice([1, 2, 4, 8]))
+    use_linear = bool(rng.random() < 0.8)
+    from libfm_tpu.tasks import TASK_REGRESSION
+
+    task = TASK_CLASSIFICATION if rng.random() < 0.3 else TASK_REGRESSION
+    rng.random()  # keep the RNG stream aligned with the fuzz sweep
+    if task == TASK_CLASSIFICATION:
+        for ds in (train, test):
+            ds.target = np.where(ds.target > 0, 1.0, -1.0).astype(np.float32)
+            ds.min_target, ds.max_target = -1.0, 1.0
+    cfg = FMConfig(
+        num_features=n_feat, num_factors=k, regw=0.3, regv=0.3,
+        use_linear=use_linear,
+    )
+    kw = dict(num_iter=6, seed=int(rng.integers(1, 99)), verbose=False,
+              do_sample=False, do_multilevel=False, task=task)
+    a = _force_bs_vector(MCMCVectorLearner(cfg, **kw))
+    ha = a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+    b = MCMCVectorLearner(cfg, **kw)
+    hb = b.learn(expand_join(train), expand_join(test))
+    for ra, rb in zip(ha, hb):
+        assert abs(ra["test_this"] - rb["test_this"]) < 5e-4, (ra, rb)
+
+
 def test_bs_vector_sharded_matches_single():
     """BS vector engine on a (data=2, model=4) mesh: A and the per-case
     chunks shard over `data`, w/V row-shard over `model`; the trajectory
