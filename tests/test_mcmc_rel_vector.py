@@ -302,6 +302,33 @@ def test_bs_vector_sharded_matches_single():
     }
 
 
+def test_bs_vector_tp_only_mesh_matches_single():
+    """Pure-TP mesh (data=1, model=8) on the BS vector engine — the
+    data-axis shardings collapse to replicated while w/V still
+    row-shard; exercises the D=1 branch of the sharding plan."""
+    from libfm_tpu.parallel.mesh import make_mesh
+
+    train, test, n_feat = _general_bs_problem(seed=9, n_cases=200)
+    cfg = FMConfig(num_features=n_feat, num_factors=3)
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=4, seed=2, verbose=False)
+    )
+    a.learn(train, test)
+    b = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=4, seed=2, verbose=False,
+                          mesh=make_mesh(data=1, model=8))
+    )
+    b.learn(train, test)
+    assert b.relational_mode == "bs_vector"
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+    V = b._vector_state["V"]
+    assert {s.data.shape[0] for s in V.addressable_shards} == {
+        V.shape[0] // 8
+    }
+
+
 def test_bs_vector_skew_fallback():
     """A join where one block row absorbs nearly all cases (and the
     relation has many rows) must fall back to the exact BS engine — the
