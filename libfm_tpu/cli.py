@@ -326,6 +326,39 @@ def main(argv=None) -> int:
     assert len(lr) in (1, 3), "-learn_rate expects 1 or 3 values"
     learn_rates = tuple(lr) if len(lr) == 3 else (lr[0],) * 3
 
+    def _verbosity_dump():
+        """-verbosity > 0 model/learner dump: fm.debug() + fml->debug()
+        (libfm.cpp:409-412; bodies at fm_model.h:80-89,
+        fm_learn.h:107-111, fm_learn_sgd.h:71-74, adapt_reg.h:357-360,
+        fm_learn_mcmc.h:1203-1209)."""
+        if args.verbosity <= 0:
+            return
+        src = train if train is not None else stream_train
+        print(f"num_attributes={num_all_attribute}")
+        print(f"use w0={dims[0]}")
+        print(f"use w1={dims[1]}")
+        print(f"dim v ={dims[2]}")
+        print(f"reg_w0={reg3[0]:g}")
+        print(f"reg_w={reg3[1]:g}")
+        print(f"reg_v={reg3[2]:g}")
+        print(f"init ~ N(0,{args.init_stdev:g})")
+        if method == "sgda":
+            print("method=sgda")
+        if method in ("sgd", "sgda"):
+            print(f"num_iter={args.iter}")
+        print(f"task={task}")
+        print(f"min_target={src.min_target:g}")
+        print(f"max_target={src.max_target:g}")
+        if method == "mcmc":
+            print(f"do_multilevel={int(do_multilevel)}")
+            print(f"do_sampling={int(do_sampling)}")
+            nec = (
+                args.num_eval_cases
+                if args.num_eval_cases is not None
+                else test.num_rows
+            )
+            print(f"num_eval_cases={nec}")
+
     mesh = None
     if args.mesh:
         from libfm_tpu.parallel.mesh import make_mesh
@@ -401,6 +434,7 @@ def main(argv=None) -> int:
                 learner.params = loaded
         if rlog:
             rlog.init()
+        _verbosity_dump()
         with maybe_profile():
             if stream_train is not None:
                 learner.learn_stream(stream_train, test)
@@ -443,6 +477,7 @@ def main(argv=None) -> int:
                 learner.params = loaded
         if rlog:
             rlog.init()
+        _verbosity_dump()
         with maybe_profile():
             learner.learn(train, test, validation)
         hist = getattr(learner, "history", None)
@@ -522,6 +557,7 @@ def main(argv=None) -> int:
         learner.register_log_fields()
         if rlog:
             rlog.init()
+        _verbosity_dump()
         with maybe_profile():
             learner.learn(
                 stream_train if stream_train is not None else train, test

@@ -348,3 +348,32 @@ def test_cli_exact_engine_streaming_classification_rebinarizes(tmp_path):
 def test_cli_missing_required_args_exit_code():
     assert cli.main([]) == 0  # bare help
     assert cli.main(["-task", "r", "-train", "/nonexistent"]) == 1
+
+
+def test_cli_verbosity_model_learner_dump(files, capsys):
+    """-verbosity > 0 prints the fm.debug() + fml->debug() dumps
+    (libfm.cpp:409-412) in addition to the Data::debug lines."""
+    d, trp, tep = files
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "mcmc",
+        "-dim", "1,1,4", "-iter", "2", "-seed", "1", "-verbosity", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for frag in (
+        "num_attributes=70", "use w0=1", "use w1=1", "dim v =4",
+        "reg_w0=0", "reg_w=0", "reg_v=0", "init ~ N(0,0.1)",
+        "task=0", "min_target=1", "max_target=5",
+        "do_multilevel=1", "do_sampling=1", "num_eval_cases=150",
+    ):
+        assert frag in out, frag
+    # SGD variant adds num_iter and omits the mcmc fields
+    rc = cli.main([
+        "-task", "r", "-train", trp, "-test", tep, "-method", "sgd",
+        "-dim", "1,1,4", "-iter", "2", "-seed", "1", "-verbosity", "1",
+        "-learn_rate", "0.01",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "num_iter=2" in out
+    assert "do_sampling" not in out
