@@ -1,12 +1,23 @@
-"""Headline benchmark: MCMC Gibbs FM, k=64, ML-10M-scale (BASELINE config #3).
+"""Benchmarks for every BASELINE.json config, in one run.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default (`--workload all`) runs all six workloads and prints ONE JSON
+line: the headline metric (config #3, MCMC k=64 ML-10M) at the top
+level plus a `configs` array carrying every workload's
+{metric, value, unit, vs_baseline, detail} — so the BENCH_r{N}.json
+artifact is the complete record (VERDICT round-2 item #5).
 
-Baseline: the reference libFM binary (g++ -O3, single thread) measured on
-this machine at 94.1 s/Gibbs-iteration on the same synthetic ML-10M
-dataset => 95.7K examples/s on one CPU core (see BASELINE.md "Measured
-baseline"). vs_baseline is the per-chip speedup over that number; the
-north-star target is >=10.
+Workloads and their measured 1-CPU-core reference baselines (reference
+libFM binary, g++ -O3, this machine — see BASELINE.md "Measured
+baseline" and BENCHNOTES.md):
+
+  #1 sgd        SGD regression k=8, ML-10M scale      8.7M examples/s
+  #2 als        ALS k=32, ML-1M scale                 1.885 s/iter
+  #3 ml         MCMC k=64, ML-10M scale (headline)    95.7K examples/s
+  #4 ctr        MCMC classification k=16, CTR 1.8M    187K examples/s
+  #5 largevocab MCMC classification k=128, 1.04M
+                features, 2.7M rows                   (reference at this
+                scale measured separately; see LV_BASELINE note)
+  bs            fat-block relational (BS) k=32        0.39 s/iter
 """
 
 import argparse
@@ -16,11 +27,252 @@ import time
 
 import numpy as np
 
-
-BASELINE_EXAMPLES_PER_S = 95_700.0  # reference libFM, 1 CPU core (BASELINE.md)
-# reference MCMC task=c -dim 1,1,16 on the same CTR synthetic (13 fields x
-# 5000, 1.8M train rows), 1 CPU core: 9.63 s/iter measured => 187K ex/s
+# reference libFM, 1 CPU core (BASELINE.md "Measured baseline")
+BASELINE_ML_EXAMPLES_PER_S = 95_700.0
+# reference MCMC task=c -dim 1,1,16 on the same CTR synthetic (13 fields
+# x 5000, 1.8M train rows), 1 CPU core: 9.63 s/iter => 187K ex/s
 BASELINE_CTR_EXAMPLES_PER_S = 187_000.0
+# reference SGD -dim 1,1,8 on the ML-10M synthetic: 1.03 s/epoch
+# (BENCHNOTES "SGD throughput (ML-10M)")
+BASELINE_SGD_EXAMPLES_PER_S = 8_700_000.0
+# reference ALS -dim 1,1,32 -regular 0,0,10 on the ML-1M synthetic
+BASELINE_ALS_S_PER_ITER = 1.885
+# reference MCMC -relation on the 250x-fat BS probe (BENCHNOTES)
+BASELINE_BS_S_PER_ITER = 0.39
+# reference MCMC task=c -dim 1,1,128 on the config #5 synthetic
+# (26 fields x 40000, 2.7M train rows). Measured round 3 on this
+# machine: see studies/lv_baseline (rlog time_learn median).
+# None => vs_baseline reported against the round-2 repo record.
+LV_BASELINE_S_PER_ITER = None
+LV_ROUND2_S_PER_ITER = 7.23  # BENCHNOTES round-2 record (same shape)
+
+
+def _median_iter_s(learner):
+    return float(np.median([h["time"] for h in learner.history[1:]]))
+
+
+def bench_sgd(args):
+    """Config #1: SGD regression k=8, ML-10M scale, packed-epoch SGD.
+
+    Known result (BENCHNOTES "SGD config #1 floor proof"): a single chip
+    is BELOW the 1-core CPU at k=8 by hardware floor (~25-37 ns/row
+    random access x 2 row ops/entry); crossover is k~32."""
+    import jax
+
+    from libfm_tpu.learners.sgd import SGDLearner
+    from libfm_tpu.models.fm import FMConfig
+
+    train, test = _ml_data(args)
+    cfg = FMConfig(num_features=train.num_features, num_factors=8, regv=0.01)
+    learner = SGDLearner(
+        cfg, num_iter=args.iters + 1, learn_rate=0.003, batch_size=32768,
+        seed=1, verbose=False,
+    )
+    t0 = time.time()
+    learner.learn(train, test)
+    # SGD history entries are (train_rmse, test_rmse, epoch_wall_s)
+    dt = float(np.median([h[2] for h in learner.history[1:]]))
+    ex_s = train.num_rows / dt
+    return {
+        "metric": "sgd_ml10m_k8_examples_per_s_per_chip",
+        "value": round(ex_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_s / BASELINE_SGD_EXAMPLES_PER_S, 2),
+        "detail": {
+            "median_epoch_s": round(dt, 4),
+            "test_rmse": round(float(learner.history[-1][1]), 4),
+            "train_rows": train.num_rows,
+            "device": str(jax.devices()[0]),
+            "note": "k=8 single-chip < CPU by row-op latency floor "
+            "(BENCHNOTES floor proof); k>=32 crosses over",
+            "total_wall_s": round(time.time() - t0, 1),
+        },
+    }
+
+
+def bench_als(args):
+    """Config #2: ALS regression k=32, ML-1M scale, -regular 0,0,10."""
+    import jax
+
+    from libfm_tpu.data.synth import movielens_like
+    from libfm_tpu.learners.mcmc_vector import ALSVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+
+    train, test = movielens_like(
+        num_users=6040, num_items=3706,
+        num_ratings=min(args.ratings, 1_000_000), seed=1,
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=32)
+    learner = ALSVectorLearner(
+        cfg, num_iter=args.iters + 1, seed=1, verbose=False,
+    )
+    learner.set_regularization([0.0, 0.0, 10.0], 1)
+    t0 = time.time()
+    learner.learn(train, test)
+    dt = _median_iter_s(learner)
+    return {
+        "metric": "als_ml1m_k32_seconds_per_iteration",
+        "value": round(dt, 4),
+        "unit": "s/iter",
+        "vs_baseline": round(BASELINE_ALS_S_PER_ITER / dt, 2),
+        "detail": {
+            "examples_per_s": round(train.num_rows / dt, 1),
+            "test_rmse": round(float(learner.history[-1]["test_this"]), 4),
+            "train_rows": train.num_rows,
+            "reference_s_per_iter": BASELINE_ALS_S_PER_ITER,
+            "refresh_every": learner.refresh_every,
+            "device": str(jax.devices()[0]),
+            "total_wall_s": round(time.time() - t0, 1),
+        },
+    }
+
+
+def _ml_data(args):
+    """ML-10M synthetic, cached on disk so repeat bench runs skip the
+    ~40 s generation."""
+    import os
+
+    from libfm_tpu.data import streaming as _st
+    from libfm_tpu.data.synth import movielens_like
+
+    cache_prefix = f"/tmp/bench_ml_{args.ratings}"
+    if os.path.exists(cache_prefix + ".train.indptr.npy"):
+        train = _st.load_flat(cache_prefix + ".train", mmap=False)
+        test = _st.load_flat(cache_prefix + ".test", mmap=False)
+    else:
+        train, test = movielens_like(
+            num_users=71567, num_items=10681, num_ratings=args.ratings, seed=1
+        )
+        _st.save_flat(train, cache_prefix + ".train")
+        _st.save_flat(test, cache_prefix + ".test")
+    return train, test
+
+
+def bench_ml(args):
+    """Config #3 (headline): MCMC Gibbs k=64, ML-10M scale."""
+    import jax
+
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+
+    train, test = _ml_data(args)
+    cfg = FMConfig(num_features=train.num_features, num_factors=args.factors)
+    learner = MCMCVectorLearner(
+        cfg, num_iter=args.iters + 1, seed=1, verbose=True
+    )
+    print("data ready; starting learn", file=sys.stderr, flush=True)
+    t0 = time.time()
+    learner.learn(train, test)
+    dt = _median_iter_s(learner)
+    ex_s = train.num_rows / dt
+    return {
+        "metric": "mcmc_ml10m_k64_examples_per_s_per_chip",
+        "value": round(ex_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_s / BASELINE_ML_EXAMPLES_PER_S, 2),
+        "detail": {
+            "median_iter_s": round(dt, 4),
+            "iters_timed": len(learner.history) - 1,
+            "test_rmse_mcmc_all": round(
+                float(learner.history[-1]["test_all"]), 4
+            ),
+            "train_rows": train.num_rows,
+            "factors": args.factors,
+            "device": str(jax.devices()[0]),
+            "total_wall_s": round(time.time() - t0, 1),
+        },
+    }
+
+
+def bench_ctr(args):
+    """Config #4: MCMC probit classification k=16, CTR 1.8M."""
+    import jax
+
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    n_ex = min(args.ratings, 2_000_000)
+    train, test, groups = ctr_like(
+        num_fields=13, field_cardinality=5000, num_examples=n_ex, seed=1
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=16)
+    learner = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1, seed=1,
+        verbose=True, attr_group=groups,
+    )
+    t0 = time.time()
+    learner.learn(train, test)
+    dt = _median_iter_s(learner)
+    ex_s = train.num_rows / dt
+    return {
+        "metric": "mcmc_ctr_k16_classification_examples_per_s_per_chip",
+        "value": round(ex_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_s / BASELINE_CTR_EXAMPLES_PER_S, 2),
+        "detail": {
+            "median_iter_s": round(dt, 4),
+            "test_acc_mcmc_all": round(
+                float(learner.history[-1]["test_all"]), 4
+            ),
+            "train_rows": train.num_rows,
+            "device": str(jax.devices()[0]),
+            "total_wall_s": round(time.time() - t0, 1),
+        },
+    }
+
+
+def bench_largevocab(args):
+    """Config #5: MCMC classification k=128 over 1.04M features
+    (26 zipf fields x 40000), 2.7M train rows — the V-sharding config.
+    Single-chip number here; the multi-chip plan is the TP mesh
+    (tests/test_sharding.py, __graft_entry__.dryrun_multichip)."""
+    import jax
+
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.models.fm import FMConfig
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    n_ex = min(args.ratings, 3_000_000)
+    train, test, groups = ctr_like(
+        num_fields=26, field_cardinality=40_000, num_examples=n_ex, seed=1
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=128)
+    learner = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1, seed=1,
+        verbose=True, attr_group=groups,
+    )
+    t0 = time.time()
+    learner.learn(train, test)
+    dt = _median_iter_s(learner)
+    if LV_BASELINE_S_PER_ITER is not None:
+        vs = round(LV_BASELINE_S_PER_ITER / dt, 2)
+        base_note = {"reference_s_per_iter": LV_BASELINE_S_PER_ITER}
+    else:
+        vs = round(LV_ROUND2_S_PER_ITER / dt, 2)
+        base_note = {
+            "baseline": "round-2 repo record 7.23 s/iter (reference "
+            "binary impractical at this scale; BENCHNOTES config #5)"
+        }
+    return {
+        "metric": "mcmc_largevocab_k128_seconds_per_iteration",
+        "value": round(dt, 4),
+        "unit": "s/iter",
+        "vs_baseline": vs,
+        "detail": {
+            "examples_per_s": round(train.num_rows / dt, 1),
+            "test_acc_mcmc_all": round(
+                float(learner.history[-1]["test_all"]), 4
+            ),
+            "train_rows": train.num_rows,
+            "num_features": train.num_features,
+            "device": str(jax.devices()[0]),
+            "total_wall_s": round(time.time() - t0, 1),
+            **base_note,
+        },
+    }
 
 
 def bench_bs(args):
@@ -28,11 +280,6 @@ def bench_bs(args):
     4000-row x 16-entry gaussian block over 20K features, k=32 — the
     regime the VLDB'13 dedup algebra exists for. Reference binary on
     this shape: 0.39 s/iter (1 CPU core, rlog time_learn median)."""
-    import json
-    import time
-
-    import numpy as np
-
     from libfm_tpu.data.dataset import Dataset
     from libfm_tpu.data.relation import RelationData, RelationJoin
     from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
@@ -74,74 +321,32 @@ def bench_bs(args):
     learner.expand_max_ratio = 0.0  # this shape expands ~15x; force BS form
     t0 = time.time()
     learner.learn(train, test)
-    times = [h["time"] for h in learner.history[1:]]
-    dt = float(np.median(times))
-    print(
-        json.dumps(
-            {
-                "metric": "mcmc_bs_fatblock_k32_seconds_per_iteration",
-                "value": round(dt, 4),
-                "unit": "s/iter",
-                "vs_baseline": round(0.39 / dt, 2),
-                "detail": {
-                    "mode": learner.relational_mode,
-                    "test_rmse_mcmc_all": round(
-                        float(learner.history[-1]["test_all"]), 4
-                    ),
-                    "train_rows": train.num_rows,
-                    "reference_s_per_iter": 0.39,
-                    "total_wall_s": round(time.time() - t0, 1),
-                },
-            }
-        )
-    )
+    dt = _median_iter_s(learner)
+    return {
+        "metric": "mcmc_bs_fatblock_k32_seconds_per_iteration",
+        "value": round(dt, 4),
+        "unit": "s/iter",
+        "vs_baseline": round(BASELINE_BS_S_PER_ITER / dt, 2),
+        "detail": {
+            "mode": learner.relational_mode,
+            "test_rmse_mcmc_all": round(
+                float(learner.history[-1]["test_all"]), 4
+            ),
+            "train_rows": train.num_rows,
+            "reference_s_per_iter": BASELINE_BS_S_PER_ITER,
+            "total_wall_s": round(time.time() - t0, 1),
+        },
+    }
 
 
-def bench_ctr(args):
-    import json
-    import time
-
-    import numpy as np
-    import jax
-
-    from libfm_tpu.data.synth import ctr_like
-    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
-    from libfm_tpu.models.fm import FMConfig
-    from libfm_tpu.tasks import TASK_CLASSIFICATION
-
-    n_ex = min(args.ratings, 2_000_000)
-    train, test, groups = ctr_like(
-        num_fields=13, field_cardinality=5000, num_examples=n_ex, seed=1
-    )
-    cfg = FMConfig(num_features=train.num_features, num_factors=16)
-    learner = MCMCVectorLearner(
-        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1, seed=1,
-        verbose=True, attr_group=groups,
-    )
-    t0 = time.time()
-    learner.learn(train, test)
-    times = [h["time"] for h in learner.history[1:]]
-    dt = float(np.median(times))
-    ex_s = train.num_rows / dt
-    print(
-        json.dumps(
-            {
-                "metric": "mcmc_ctr_k16_classification_examples_per_s_per_chip",
-                "value": round(ex_s, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(ex_s / BASELINE_CTR_EXAMPLES_PER_S, 2),
-                "detail": {
-                    "median_iter_s": round(dt, 4),
-                    "test_acc_mcmc_all": round(
-                        float(learner.history[-1]["test_all"]), 4
-                    ),
-                    "train_rows": train.num_rows,
-                    "device": str(jax.devices()[0]),
-                    "total_wall_s": round(time.time() - t0, 1),
-                },
-            }
-        )
-    )
+WORKLOADS = {
+    "sgd": bench_sgd,
+    "als": bench_als,
+    "ml": bench_ml,
+    "ctr": bench_ctr,
+    "largevocab": bench_largevocab,
+    "bs": bench_bs,
+}
 
 
 def main():
@@ -151,10 +356,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument(
-        "--workload", default="ml", choices=["ml", "ctr", "bs"],
-        help="ml = MCMC regression (headline); ctr = Criteo-style "
-        "classification (BASELINE config #4); bs = fat-block relational "
-        "(BS vector engine)",
+        "--workload", default="all",
+        choices=["all", *WORKLOADS],
+        help="all = every BASELINE config (one JSON line, headline "
+        "top-level + configs array); or a single workload",
     )
     args = ap.parse_args()
 
@@ -169,69 +374,25 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from libfm_tpu.data.synth import ctr_like, movielens_like
-    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
-    from libfm_tpu.models.fm import FMConfig
-    from libfm_tpu.tasks import TASK_CLASSIFICATION
+    if args.workload != "all":
+        print(json.dumps(WORKLOADS[args.workload](args)))
+        return
 
-    if args.workload == "ctr":
-        return bench_ctr(args)
-    if args.workload == "bs":
-        return bench_bs(args)
-
-    # cache the synthetic dataset on disk so repeat bench runs (driver
-    # reruns, warm compile cache) skip the ~40 s generation
-    import os
-
-    from libfm_tpu.data import streaming as _st
-
-    cache_prefix = f"/tmp/bench_ml_{args.ratings}"
-    if os.path.exists(cache_prefix + ".train.indptr.npy"):
-        train = _st.load_flat(cache_prefix + ".train", mmap=False)
-        test = _st.load_flat(cache_prefix + ".test", mmap=False)
-    else:
-        train, test = movielens_like(
-            num_users=71567, num_items=10681, num_ratings=args.ratings, seed=1
-        )
-        _st.save_flat(train, cache_prefix + ".train")
-        _st.save_flat(test, cache_prefix + ".test")
-    n = train.num_features
-    cfg = FMConfig(num_features=n, num_factors=args.factors)
-    import sys
-
-    learner = MCMCVectorLearner(
-        cfg, num_iter=args.iters + 1, seed=1, verbose=True
-    )
-    print("data ready; starting learn", file=sys.stderr, flush=True)
-
-    # run learn() manually to separate compile (iter 0) from steady state
-    learner.num_iter = args.iters + 1
-    t_start = time.time()
-    learner.learn(train, test)
-    times = [h["time"] for h in learner.history[1:]]  # drop compile iter
-    dt = float(np.median(times))
-    ex_s = train.num_rows / dt
-    rmse = learner.history[-1]["test_all"]
-
-    print(
-        json.dumps(
-            {
-                "metric": "mcmc_ml10m_k64_examples_per_s_per_chip",
-                "value": round(ex_s, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(ex_s / BASELINE_EXAMPLES_PER_S, 2),
-                "detail": {
-                    "median_iter_s": round(dt, 4),
-                    "iters_timed": len(times),
-                    "test_rmse_mcmc_all": round(float(rmse), 4),
-                    "train_rows": train.num_rows,
-                    "factors": args.factors,
-                    "device": str(jax.devices()[0]),
-                    "total_wall_s": round(time.time() - t_start, 1),
-                },
+    results = []
+    for name, fn in WORKLOADS.items():
+        print(f"=== workload {name} ===", file=sys.stderr, flush=True)
+        try:
+            r = fn(args)
+        except Exception as e:  # record the failure, keep the run alive
+            r = {
+                "metric": f"{name}_FAILED",
+                "value": None, "unit": "", "vs_baseline": None,
+                "detail": {"error": repr(e)[:500]},
             }
-        )
-    )
+        results.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+    headline = next(r for r in results if r["metric"].startswith("mcmc_ml10m"))
+    print(json.dumps({**headline, "configs": results}))
 
 
 if __name__ == "__main__":

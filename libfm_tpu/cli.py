@@ -94,11 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
     a(
         "-refresh_every",
         type=int,
-        default=1,
+        default=None,
         help="vector MCMC/ALS regression: re-predict the train cache "
         "every R-th iteration (1 = reference behavior; larger R skips "
         "the numerically-redundant refresh for ~10-20%% per-iteration "
-        "savings)",
+        "savings). Default: 1 for mcmc, 8 for als (the deterministic "
+        "ALS sweep maintains the cache exactly; refresh is drift "
+        "control only).",
     )
     a(
         "-engine",
@@ -522,7 +524,7 @@ def main(argv=None) -> int:
                     "WARNING: -mesh applies to the vector engine only; "
                     "ignoring."
                 )
-            if args.refresh_every != 1:
+            if args.refresh_every not in (None, 1):
                 print(
                     "WARNING: -refresh_every applies to the vector "
                     "engine only; ignoring."

@@ -153,8 +153,10 @@ class MCMCVectorLearner(MCMCLearner):
     the data axis. tests/test_sharding.py asserts sharded == single
     device."""
 
+    ALS_DEFAULT_REFRESH = 8
+
     def __init__(self, *args, widths=(32, 256), mesh=None,
-                 dual_draws=True, dense_update=True, refresh_every=1,
+                 dual_draws=True, dense_update=True, refresh_every=None,
                  **kwargs):
         super().__init__(*args, **kwargs)
         # width buckets: measured on v5e, narrow (W=8) segment gathers
@@ -177,6 +179,12 @@ class MCMCVectorLearner(MCMCLearner):
         # float drift (the reference's own comment,
         # fm_learn_mcmc_simultaneous.h:123-124). Classification always
         # refreshes (the probit latent resample lives in that pass).
+        # Default (None): 1 for MCMC (reference-exact cadence); for ALS
+        # (do_sample=False) the sweep is deterministic and the refresh
+        # is pure drift control, so the default is ALS_DEFAULT_REFRESH
+        # (drift bound tested in tests/test_mcmc_vector.py).
+        if refresh_every is None:
+            refresh_every = 1 if self.do_sample else self.ALS_DEFAULT_REFRESH
         self.refresh_every = refresh_every
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
@@ -540,7 +548,12 @@ class MCMCVectorLearner(MCMCLearner):
             # A-row gathers (which run at the ~25-35 ns/row gather floor
             # and dominate small-k sweeps — BENCHNOTES.md phase table).
             stats_map = None
-            _MW = (d - 1) * (d - 1) + 3 * (d - 1) + 5
+            # moment-row width of the case-major stats pass (symmetric
+            # QQ packing; one-hot blocks drop the duplicate Q / scalar
+            # moments) — keep in sync with sweep_block's MW
+            _k = d - 1
+            _T = _k * (_k + 1) // 2
+            _MW = (_T + 2 * _k + 2) if up_val is None else (_T + 3 * _k + 5)
             _Fd = len(dense_feats)
             # eligibility: the one-hot moment matmul costs about
             # Fd x nc x MW FLOPs per sweep — use it when that stays
@@ -907,13 +920,31 @@ class MCMCVectorLearner(MCMCLearner):
                     else lay.up_val.reshape(-1, CUS)
                 )
                 iotaF = jnp.arange(Fd_pad, dtype=jnp.int32)
-                MW = k * k + 3 * k + 5
+                # The QQ moment is symmetric, so only the upper triangle
+                # (T = k(k+1)/2 columns) is accumulated — the mirror
+                # entries are the same commutative products summed in the
+                # same order, so unpacking is bit-identical to the full
+                # accumulation. One-hot blocks (x == 1 for every entry)
+                # additionally collapse Q2 == Q3 == Q and
+                # m2 == m3 == m4 == count, mxe == m2e == sum(e): their
+                # moment row is [QQ_sym | Q | eQ | 1 | e]. Both cuts
+                # shrink the one-hot matmul's MW (its FLOP factor) ~2x.
+                T = k * (k + 1) // 2
+                iu0_np, iu1_np = np.triu_indices(k)
+                iu0 = jnp.asarray(iu0_np, jnp.int32)
+                iu1 = jnp.asarray(iu1_np, jnp.int32)
+                sym_np = np.zeros((k, k), np.int32)
+                sym_np[iu0_np, iu1_np] = np.arange(T, dtype=np.int32)
+                sym_np[iu1_np, iu0_np] = sym_np[iu0_np, iu1_np]
+                sym_idx = jnp.asarray(sym_np.reshape(-1))
+                oh_block = upv2 is None
+                MW = (T + 2 * k + 2) if oh_block else (T + 3 * k + 5)
                 MOM = jnp.zeros((Fd_pad, MW), f)
                 if tp:
                     MOM = jax.lax.with_sharding_constraint(MOM, sh_model2)
 
                 def stats_case_chunk(MOM, inp):
-                    if upv2 is None:
+                    if oh_block:
                         ci, sid = inp
                         xv = None  # one-hot: x = 1 for every real case
                     else:
@@ -924,26 +955,30 @@ class MCMCVectorLearner(MCMCLearner):
                     e_c = A_chunk[:, 0]
                     Q_c = A_chunk[:, 1:]
                     if xv is None:
-                        x2 = x3 = x4 = jnp.ones((CUS,), f)
-                        Q2, Q3 = Q_c, Q_c
+                        QQ = Q_c[:, iu0] * Q_c[:, iu1]  # [CUS, T]
+                        rows = jnp.concatenate(
+                            [
+                                QQ, Q_c, e_c[:, None] * Q_c,
+                                jnp.ones((CUS, 1), f), e_c[:, None],
+                            ],
+                            axis=-1,
+                        )
                     else:
                         x2 = xv * xv
                         x3 = x2 * xv
                         x4 = x2 * x2
                         Q2 = x2[:, None] * Q_c
                         Q3 = x3[:, None] * Q_c
-                    QQ = (Q2[:, :, None] * Q_c[:, None, :]).reshape(
-                        CUS, k * k
-                    )
-                    xe = (xv if xv is not None else 1.0) * e_c
-                    rows = jnp.concatenate(
-                        [
-                            QQ, Q2, Q3, xe[:, None] * Q_c,
-                            x2[:, None], x3[:, None], x4[:, None],
-                            xe[:, None], (x2 * e_c)[:, None],
-                        ],
-                        axis=-1,
-                    )
+                        QQ = Q2[:, iu0] * Q_c[:, iu1]  # [CUS, T]
+                        xe = xv * e_c
+                        rows = jnp.concatenate(
+                            [
+                                QQ, Q2, Q3, xe[:, None] * Q_c,
+                                x2[:, None], x3[:, None], x4[:, None],
+                                xe[:, None], (x2 * e_c)[:, None],
+                            ],
+                            axis=-1,
+                        )
                     onehot = (
                         sid[:, None] == iotaF[None, :]
                     ).astype(f)
@@ -957,7 +992,7 @@ class MCMCVectorLearner(MCMCLearner):
                 MOM, _ = jax.lax.scan(
                     stats_case_chunk, MOM,
                     (iot, lay.stats_map)
-                    if upv2 is None
+                    if oh_block
                     else (iot, lay.stats_map, upv2),
                 )
                 # reconstruct the blocked statistic per dense feature
@@ -966,15 +1001,21 @@ class MCMCVectorLearner(MCMCLearner):
                     theta_old[lay.dense_feats][:, 1:],
                     unique_indices=True,
                 )
-                M2 = MOM[:, : k * k]
-                S2 = MOM[:, k * k : k * k + k]
-                S3 = MOM[:, k * k + k : k * k + 2 * k]
-                SQe = MOM[:, k * k + 2 * k : k * k + 3 * k]
-                m2 = MOM[:, -5]
-                m3 = MOM[:, -4]
-                m4 = MOM[:, -3]
-                mxe = MOM[:, -2]
-                m2e = MOM[:, -1]
+                M2 = MOM[:, :T][:, sym_idx]  # unpack symmetric [*, k*k]
+                if oh_block:
+                    S2 = S3 = MOM[:, T : T + k]
+                    SQe = MOM[:, T + k : T + 2 * k]
+                    m2 = m3 = m4 = MOM[:, -2]
+                    mxe = m2e = MOM[:, -1]
+                else:
+                    S2 = MOM[:, T : T + k]
+                    S3 = MOM[:, T + k : T + 2 * k]
+                    SQe = MOM[:, T + 2 * k : T + 3 * k]
+                    m2 = MOM[:, -5]
+                    m3 = MOM[:, -4]
+                    m4 = MOM[:, -3]
+                    mxe = MOM[:, -2]
+                    m2e = MOM[:, -1]
                 vS3 = (
                     vpadded[:, :, None] * S3[:, None, :]
                 ).reshape(Fd_pad, k * k)
