@@ -227,15 +227,56 @@ def main(argv=None) -> int:
             "WARNING: -cache_size streaming applies to SGD and MCMC/ALS."
         )
 
+    # relations force the main table resident (the BS engines join
+    # against it); the relation block tables themselves load through the
+    # bounded streaming reader below, matching the reference's wiring of
+    # cache_size into RelationData (relation.h:62-78)
+    rel_names = _split_list(args.relation)
+    if rel_names and stream_train is not None:
+        print(
+            "NOTE: -relation with -cache_size: relation tables load "
+            "through the bounded cache; the (typically tiny) BS main "
+            "table loads resident."
+        )
+        stream_train = None
+
     if stream_train is None:
         print("Loading train...")
         train = Dataset.load(args.train)
         _debug(train, "train")
     else:
         train = None
-    print("Loading test...")
-    test = Dataset.load(args.test)
-    _debug(test, "test")
+
+    # the TEST set can stream too (the reference pushes test data through
+    # the same HD cache, libfm.cpp:141-174); the vector MCMC/ALS engine
+    # uploads its row chunks without a resident host copy
+    stream_test = None
+    if (
+        args.cache_size
+        and method == "mcmc"
+        and args.engine == "vector"
+        and not rel_names
+    ):
+        import os as _os
+
+        xpt, ypt = args.test + ".x", args.test + ".y"
+        budget = int(float(args.cache_size))
+        if _os.path.exists(xpt) and _os.path.getsize(xpt) > budget:
+            from libfm_tpu.data.streaming import StreamingDataset
+
+            stream_test = StreamingDataset(
+                xpt, ypt, entry_budget=max(1024, budget // 8)
+            )
+            print(
+                f"Test set out-of-core: {xpt} "
+                f"({_os.path.getsize(xpt)} B > cache_size {budget} B)"
+            )
+    if stream_test is None:
+        print("Loading test...")
+        test = Dataset.load(args.test)
+        _debug(test, "test")
+    else:
+        test = stream_test
     validation = None
     if args.validation:
         if method != "sgda":
@@ -246,14 +287,14 @@ def main(argv=None) -> int:
         else:
             validation = Dataset.load(args.validation)
 
-    # relations (BS)
-    rel_names = _split_list(args.relation)
-    if rel_names and stream_train is not None:
-        print("ERROR: -relation is not supported with -cache_size streaming")
-        return 1
+    # relations (BS); with -cache_size the block tables read through the
+    # bounded streaming windows (reference parity, relation.h:62-78)
+    rel_budget = (
+        max(1024, int(float(args.cache_size)) // 8) if args.cache_size else None
+    )
     relations = []
     for rn in rel_names:
-        rd = RelationData.load(rn)
+        rd = RelationData.load(rn, entry_budget=rel_budget)
         relations.append(rd)
         train.relations.append(RelationJoin.load(rd, rn + ".train", train.num_rows))
         test.relations.append(RelationJoin.load(rd, rn + ".test", test.num_rows))

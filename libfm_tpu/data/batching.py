@@ -225,6 +225,13 @@ def conflict_free_blocks(
     blocks_feats: list[list[int]] = []
 
     active = np.nonzero(np.diff(t_indptr) > 0)[0]
+    # Welsh-Powell order (degree = rows touched, descending): high-degree
+    # features placed first pack into fewer, more size-balanced blocks
+    # than natural order — measured 29 -> 23 blocks (sizes 1..1730 ->
+    # ~1000 uniform) on the fat-block BS probe, which directly cuts the
+    # engine's sequential block-step count (BENCHNOTES round-3 BS notes)
+    deg = (t_indptr[active + 1] - t_indptr[active]).astype(np.int64)
+    active = active[np.argsort(-deg, kind="stable")]
     for f in active:
         rows_f = t_rows[t_indptr[f] : t_indptr[f + 1]]
         if len(np.unique(rows_f)) != len(rows_f):
@@ -250,11 +257,16 @@ def conflict_free_blocks(
             blocks_used.append(used)
             blocks_feats.append([int(f)])
 
+    # within-block feature order: natural ascending (the Welsh-Powell
+    # VISIT order must not leak into the layout — the streamed greedy
+    # partition collects block features in natural order, and the two
+    # paths must build identical layouts for exact streamed==resident
+    # trajectory parity)
     return _blocks_from_feature_sets(
         t_indptr,
         t_rows,
         t_vals,
-        [np.asarray(f, dtype=np.int32) for f in blocks_feats],
+        [np.sort(np.asarray(f, dtype=np.int32)) for f in blocks_feats],
     )
 
 

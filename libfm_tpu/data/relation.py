@@ -47,12 +47,41 @@ class RelationData:
         )
 
     @classmethod
-    def load(cls, prefix: str) -> "RelationData":
+    def load(cls, prefix: str, entry_budget: int | None = None) -> "RelationData":
         """Load `<prefix>.x` (+ optional `.groups`) like the reference
-        (/root/reference/src/libfm/src/relation.h:71-113)."""
-        indptr, cols, vals, num_rows, num_cols = binio.read_sparse_binary(
-            prefix + ".x"
-        )
+        (/root/reference/src/libfm/src/relation.h:71-113).
+
+        With `entry_budget` (the -cache_size path) the .x is read through
+        the bounded streaming window reader instead of one whole-file
+        read — the reference wires cache_size into the relation loads the
+        same way (relation.h:62-78). The assembled table is resident
+        either way: the BS algorithms' premise is that block tables are
+        small (that is what the dedup buys)."""
+        if entry_budget:
+            from libfm_tpu.data.streaming import stream_sparse_binary
+
+            ips, css, vss = [np.zeros(1, np.int64)], [], []
+            num_cols = 0
+            base = 0
+            for _, ip, cs, vs, _, nc_ in stream_sparse_binary(
+                prefix + ".x", entry_budget
+            ):
+                num_cols = nc_
+                ips.append(np.asarray(ip[1:], np.int64) + base)
+                base += int(ip[-1])
+                css.append(cs)
+                vss.append(vs)
+            indptr = np.concatenate(ips)
+            cols = (
+                np.concatenate(css) if css else np.empty(0, np.int32)
+            )
+            vals = (
+                np.concatenate(vss) if vss else np.empty(0, np.float32)
+            )
+        else:
+            indptr, cols, vals, num_rows, num_cols = binio.read_sparse_binary(
+                prefix + ".x"
+            )
         rd = cls(indptr, cols, vals, num_cols)
         if os.path.exists(prefix + ".groups"):
             rd.meta.load_groups(prefix + ".groups")

@@ -139,6 +139,130 @@ def infer_position_groups(
     return first.astype(np.int32)
 
 
+def stream_greedy_partition(
+    xt_path: str, num_rows: int, entry_budget: int = 10_000_000
+):
+    """Greedy first-fit conflict-free partition from a streamed transpose
+    (.xt) — the out-of-core analog of batching.conflict_free_blocks'
+    greedy path, for UNSTRUCTURED data with no -meta groups and no
+    within-row position structure. Produces the IDENTICAL partition
+    (same Welsh-Powell order, same first-fit, same tie-breaking) so a
+    streamed run's trajectory equals the resident run's exactly.
+
+    Pass 1 streams only the per-feature entry counts; features are then
+    visited in degree-descending order through a byte-offset index into
+    the .xt (one seek+read per active feature — a one-time build cost;
+    the reference's HD cache seeks every refill, fmatrix.h:244-269).
+    Host memory: one packed row-bitmap (num_rows/8 bytes) per block plus
+    one feature's rows. Returns (block_of_feature int32,
+    entries_per_feature int64) for stream_feature_blocks_any."""
+    counts_l: list[np.ndarray] = []
+    for _, indptr, _, _, _, _ in stream_sparse_binary(
+        xt_path, entry_budget
+    ):
+        counts_l.append(np.diff(indptr).astype(np.int64))
+    counts = (
+        np.concatenate(counts_l) if counts_l else np.empty(0, np.int64)
+    )
+    nf = len(counts)
+    # byte offset of each feature's row within the interleaved format:
+    # rows are [size u32][(id u32, val f32) x size]
+    offs = np.zeros(nf + 1, dtype=np.int64)
+    np.cumsum(4 + 8 * counts, out=offs[1:])
+    offs += _FMATRIX_HEADER.size
+
+    active = np.nonzero(counts > 0)[0]
+    order = active[np.argsort(-counts[active], kind="stable")]
+
+    nbytes = (num_rows + 7) >> 3
+    bit = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
+    blocks: list[np.ndarray] = []  # packed row-usage bitmaps
+    block_of = np.zeros(nf, dtype=np.int32)
+    with open(xt_path, "rb") as fh:
+        for fi in order:
+            fh.seek(offs[fi] + 4)
+            raw = np.frombuffer(
+                fh.read(8 * int(counts[fi])), dtype="<u4"
+            )
+            rf = raw[0::2].astype(np.int64)
+            if len(np.unique(rf)) != len(rf):
+                raise ValueError(
+                    f"feature {int(fi)} appears more than once in a "
+                    "single row; duplicate (row, feature) entries are "
+                    "not supported — coalesce the input first"
+                )
+            by = rf >> 3
+            bi = bit[rf & 7]
+            placed = -1
+            for b, used in enumerate(blocks):
+                if not (used[by] & bi).any():
+                    placed = b
+                    break
+            if placed < 0:
+                blocks.append(np.zeros(nbytes, dtype=np.uint8))
+                placed = len(blocks) - 1
+            np.bitwise_or.at(blocks[placed], by, bi)
+            block_of[fi] = placed
+    return block_of, counts
+
+
+def stream_feature_blocks_any(
+    xt_path: str,
+    block_of_feature: np.ndarray,
+    num_rows: int,
+    entry_budget: int = 10_000_000,
+    entries_per_feature: np.ndarray | None = None,
+):
+    """Yield conflict-free FeatureBlocks for an ARBITRARY partition whose
+    blocks interleave across the feature range (a greedy partition), with
+    bounded host memory: blocks are grouped into WAVES whose total
+    entries fit the budget, and the .xt is re-streamed once per wave
+    collecting only that wave's features. The re-reads happen once, at
+    layout-build time (the reference's HD cache re-reads every
+    iteration, /root/reference/src/util/fmatrix.h:244-269)."""
+    block_of_feature = np.asarray(block_of_feature, dtype=np.int64)
+    if entries_per_feature is None:
+        entries_per_feature = np.zeros(len(block_of_feature), np.int64)
+        for f0, indptr, _, _, _, _ in stream_sparse_binary(
+            xt_path, entry_budget
+        ):
+            entries_per_feature[f0 : f0 + len(indptr) - 1] = np.diff(indptr)
+    nb = int(block_of_feature.max()) + 1 if len(block_of_feature) else 0
+    per_block = np.bincount(
+        block_of_feature, weights=entries_per_feature, minlength=nb
+    ).astype(np.int64)
+    wave: list[int] = []
+    tot = 0
+    waves: list[list[int]] = []
+    for b in range(nb):
+        if wave and tot + per_block[b] > entry_budget:
+            waves.append(wave)
+            wave, tot = [], 0
+        wave.append(b)
+        tot += int(per_block[b])
+    if wave:
+        waves.append(wave)
+    for wv in waves:
+        in_wave = np.zeros(nb, dtype=bool)
+        in_wave[wv] = True
+        # features outside the wave map to -1 (skipped by the streamer);
+        # the partition pass already proved conflict-freeness
+        bmap = np.where(
+            in_wave[block_of_feature], block_of_feature, -1
+        ).astype(np.int64)
+        # the streamer finalises blocks by last-feature position; re-sort
+        # to block-id (creation) order so the sweep order — and thus the
+        # RNG trajectory — matches the in-memory greedy path exactly
+        got = list(
+            stream_feature_blocks(
+                xt_path, bmap, num_rows, entry_budget,
+                check_conflicts=False,
+            )
+        )
+        got.sort(key=lambda blk: int(block_of_feature[blk.features[0]]))
+        yield from got
+
+
 def stream_feature_blocks(
     xt_path: str,
     block_of_feature: np.ndarray,
@@ -165,9 +289,11 @@ def stream_feature_blocks(
     block_of_feature = np.asarray(block_of_feature)
     n_blocks = int(block_of_feature.max()) + 1 if len(block_of_feature) else 0
     # last feature id of each block: a block can be finalised once the
-    # stream has passed it
+    # stream has passed it. Features with block id < 0 are SKIPPED
+    # (stream_feature_blocks_any streams one wave at a time).
+    sel = block_of_feature >= 0
     bmax = np.zeros(n_blocks, dtype=np.int64)
-    bmax[block_of_feature] = np.arange(len(block_of_feature), dtype=np.int64)
+    bmax[block_of_feature[sel]] = np.nonzero(sel)[0]
 
     open_acc: dict[int, dict] = {}
 
@@ -199,6 +325,8 @@ def stream_feature_blocks(
         run_hi = np.concatenate([cuts, [nf]])
         for s_, e_ in zip(run_lo, run_hi):
             b = int(b_win[s_])
+            if b < 0:
+                continue
             lo, hi = int(indptr[s_]), int(indptr[e_])
             acc = open_acc.setdefault(
                 b,

@@ -702,6 +702,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         return A, train_metric
 
     def predict_test(w0, w, V, S, scores=None):
+        if "pred" in _skip:
+            return jnp.zeros((nc_test,), f)
         if scores is None:
             scores = _rel_scores(w, V, S)
         maps = [dr["map_te"] for dr in S["dev_rels"]]
@@ -804,9 +806,18 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         return A, w, V, n_rej, key
 
     # ---------------- relation sweep ----------------
+    # profiling-only trace-time phase skips (wrong results, real
+    # timings) — mirrors the flat engine's _skip_phases bisection
+    _skip = getattr(learner, "_skip_phases", frozenset())
+
     def build_rel_caches(A, dr, nb):
         """Frozen per-block-row caches (we0, SQ0, SQe0, SQQ0), each with a
         zero sentinel row nb."""
+        if "caches" in _skip:
+            return (
+                jnp.zeros((nb + 1,), f), jnp.zeros((nb + 1, k), f),
+                jnp.zeros((nb + 1, k), f), jnp.zeros((nb + 1, k, k), f),
+            )
 
         def chunk(_, case_ids):  # [RC, Lb]
             rows = A[case_ids]  # [RC, Lb, 1+k]
@@ -837,6 +848,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
     def sweep_relation(A, w, V, dr, nb, shapes, alpha, w_mu_g, w_lambda_g,
                        v_mu_g, v_lambda_g, key):
+        if "rel" in _skip:
+            return A, w, V, jnp.zeros((), jnp.int32), key
         wnum = dr["wnum"]  # [nb+1]
         we0, SQ0, SQe0, SQQ0 = build_rel_caches(A, dr, nb)
         s = jnp.zeros((nb + 1,), f)
@@ -914,15 +927,18 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                         mom_rows, indices_are_sorted=True
                     ), None
 
-                MOM, _ = jax.lax.scan(
-                    mom_chunk,
-                    jnp.zeros((F_pad, MW), f),
-                    (
-                        eb.reshape(-1, EC),
-                        ex.reshape(-1, EC),
-                        ef.reshape(-1, EC),
-                    ),
-                )
+                if "mom" in _skip:
+                    MOM = jnp.zeros((F_pad, MW), f)
+                else:
+                    MOM, _ = jax.lax.scan(
+                        mom_chunk,
+                        jnp.zeros((F_pad, MW), f),
+                        (
+                            eb.reshape(-1, EC),
+                            ex.reshape(-1, EC),
+                            ef.reshape(-1, EC),
+                        ),
+                    )
 
                 # reconstruct [Qq | qa | qe | aa | ae] (v_j-free identities,
                 # same as the flat engine's case-major reconstruction)
@@ -967,7 +983,9 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 real = (feats < n)[:, None]
                 lam = jnp.where(real, lam, 1.0)
                 mu_pr = jnp.where(real, mu_pr, 0.0)
-                if F_pad <= 1024:
+                if "draw" in _skip:
+                    theta_new, rej = theta_old, jnp.zeros((), jnp.int32)
+                elif F_pad <= 1024:
                     theta_new, rej = blocked_theta_draw(
                         GG, theta_old, lam, mu_pr, z, alpha, k, do_sample
                     )
@@ -1012,14 +1030,15 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     dQB = dQB.at[eb_c].add(ex_c[:, None] * dv_e)
                     return (s, dQB), None
 
-                (s, dQB), _ = jax.lax.scan(
-                    upd_chunk, (s, dQB),
-                    (
-                        eb.reshape(-1, EC),
-                        ex.reshape(-1, EC),
-                        ef.reshape(-1, EC),
-                    ),
-                )
+                if "upd" not in _skip:
+                    (s, dQB), _ = jax.lax.scan(
+                        upd_chunk, (s, dQB),
+                        (
+                            eb.reshape(-1, EC),
+                            ex.reshape(-1, EC),
+                            ef.reshape(-1, EC),
+                        ),
+                    )
 
                 w = w.at[feats].set(theta_new[:, 0])
                 V = V.at[feats].set(theta_new[:, 1:])
@@ -1045,11 +1064,12 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             )
             return A, None
 
-        nchm = dr["map_tr"].shape[0]
-        A, _ = jax.lax.scan(
-            resync_chunk, A,
-            (jnp.arange(nchm, dtype=jnp.int32), dr["map_tr"]),
-        )
+        if "resync" not in _skip:
+            nchm = dr["map_tr"].shape[0]
+            A, _ = jax.lax.scan(
+                resync_chunk, A,
+                (jnp.arange(nchm, dtype=jnp.int32), dr["map_tr"]),
+            )
         return A, w, V, n_rej, key
 
     # ---------------- one iteration ----------------
@@ -1176,10 +1196,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                                  scores=scores)
         key = state["key"]
         key, kr = jax.random.split(key)
-        A, train_metric = refresh_A_and_train_metric(
-            state["w0"], state["w"], state["V"], kr, S, state["A"],
-            scores=scores,
-        )
+        if "refresh" in _skip:
+            A, train_metric = state["A"], jnp.zeros((), f)
+        else:
+            A, train_metric = refresh_A_and_train_metric(
+                state["w0"], state["w"], state["V"], kr, S, state["A"],
+                scores=scores,
+            )
         if task == TASK_REGRESSION:
             pred_this = pred_test
             p_clamped = jnp.clip(pred_test, min_t, max_t)

@@ -234,23 +234,40 @@ class MCMCVectorLearner(MCMCLearner):
                     f"streaming MCMC/ALS needs the transposed design "
                     f"matrix at {xt} (build it with tools/transpose.py)"
                 )
+            part = None
             if int(attr_group.max()) > 0:
                 part = attr_group
             else:
                 part = infer_position_groups(
                     train.x_path, self.cfg.num_features, train.entry_budget
                 )
-                if part is None:
-                    raise ValueError(
-                        "streaming MCMC/ALS requires conflict-free -meta "
-                        "groups or position-structured rows (one feature "
-                        "per within-row position)"
+            if part is not None:
+                def _block_iter():
+                    return stream_feature_blocks(
+                        xt, part, train.num_rows, train.entry_budget
+                    )
+            else:
+                # unstructured data, no -meta: greedy first-fit partition
+                # built out-of-core from the streamed transpose, then
+                # wave-bounded multi-pass block collection (the streamed
+                # analog of conflict_free_blocks' greedy path)
+                from libfm_tpu.data.streaming import (
+                    stream_feature_blocks_any,
+                    stream_greedy_partition,
+                )
+
+                gpart, gcounts = stream_greedy_partition(
+                    xt, train.num_rows, train.entry_budget
+                )
+
+                def _block_iter():
+                    return stream_feature_blocks_any(
+                        xt, gpart, train.num_rows, train.entry_budget,
+                        entries_per_feature=gcounts,
                     )
 
             def _gen_stream():
-                for b in stream_feature_blocks(
-                    xt, part, train.num_rows, train.entry_budget
-                ):
+                for b in _block_iter():
                     yield build_block_layout(
                         b.features, b.entry_rows, b.entry_vals,
                         b.entry_feat, attr_group[b.features],
@@ -630,8 +647,15 @@ class MCMCVectorLearner(MCMCLearner):
         else:
             _L = max(1, int(np.diff(train.indptr).max()) if train.nnz else 1)
         # the same ROW_CHUNK also chunks the TEST rows — size the budget
-        # by whichever set has the wider rows
-        _L = max(_L, int(np.diff(test.indptr).max()) if test.nnz else 1)
+        # by whichever set has the wider rows. The test set may itself be
+        # a StreamingDataset (the reference streams test data through the
+        # same HD cache, libfm.cpp:141-174): its rows then upload chunk
+        # by chunk without a resident [nr, L] host matrix.
+        test_is_stream = not hasattr(test, "indptr")
+        if test_is_stream:
+            _L = max(_L, test.max_row_nnz())
+        else:
+            _L = max(_L, int(np.diff(test.indptr).max()) if test.nnz else 1)
         _Lp = ((_L + 7) // 8) * 8
         _dp = ((d + 127) // 128) * 128
         ROW_CHUNK = int(max(512, min(1 << 18, (300 << 20) // (_Lp * _dp * 4))))
@@ -708,9 +732,12 @@ class MCMCVectorLearner(MCMCLearner):
             tr_ids, tr_pv = _chunk_rows(
                 *padded_rows_layout(train.indptr, train.cols, train.vals)
             )
-        te_ids, te_pv = _chunk_rows(
-            *padded_rows_layout(test.indptr, test.cols, test.vals)
-        )
+        if test_is_stream:
+            te_ids, te_pv = _chunk_rows_stream(test, _L)
+        else:
+            te_ids, te_pv = _chunk_rows(
+                *padded_rows_layout(test.indptr, test.cols, test.vals)
+            )
 
         y_train = jnp.asarray(train.target, dtype=f)
         y_test = jnp.asarray(test.target, dtype=f)

@@ -377,3 +377,101 @@ def test_cli_verbosity_model_learner_dump(files, capsys):
     out = capsys.readouterr().out
     assert "num_iter=2" in out
     assert "do_sampling" not in out
+
+
+def test_cli_relation_with_cache_size(tmp_path):
+    """-relation together with -cache_size must train (the reference
+    wires cache_size into the relation loads, relation.h:62-78): the
+    relation tables read through the bounded streaming windows and the
+    run matches the resident one exactly."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from libfm_tpu.data import binary as binio
+    from libfm_tpu.tools import transpose as transpose_tool
+
+    rng = np.random.default_rng(4)
+    nu, ni, nc = 30, 25, 400
+    users = rng.integers(0, nu, nc)
+    items = rng.integers(0, ni, nc)
+    y = (
+        3.0 + 0.3 * rng.standard_normal(nu)[users]
+        + 0.3 * rng.standard_normal(ni)[items]
+        + 0.2 * rng.standard_normal(nc)
+    ).astype(np.float32)
+    d = str(tmp_path)
+    for name, nb in (("ru", nu), ("ri", ni)):
+        ip = np.arange(nb + 1, dtype=np.int64)
+        binio.write_sparse_binary(
+            f"{d}/{name}.x", ip, np.arange(nb, dtype=np.int32),
+            np.ones(nb, np.float32), nb,
+        )
+        transpose_tool.main(
+            ["--ifile", f"{d}/{name}.x", "--ofile", f"{d}/{name}.xt"]
+        )
+    split = nc // 5
+    np.savetxt(f"{d}/ru.train", users[split:], fmt="%d")
+    np.savetxt(f"{d}/ru.test", users[:split], fmt="%d")
+    np.savetxt(f"{d}/ri.train", items[split:], fmt="%d")
+    np.savetxt(f"{d}/ri.test", items[:split], fmt="%d")
+    with open(f"{d}/bs.train", "w") as fh:
+        fh.writelines(f"{t}\n" for t in y[split:])
+    with open(f"{d}/bs.test", "w") as fh:
+        fh.writelines(f"{t}\n" for t in y[:split])
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "-task", "r", "-train", f"{d}/bs.train",
+                "-test", f"{d}/bs.test", "-relation", f"{d}/ru,{d}/ri",
+                "-dim", "1,1,4", "-method", "mcmc", "-iter", "6",
+                "-seed", "1", *extra,
+            ])
+        assert rc == 0
+        out = buf.getvalue()
+        return out, [
+            float(l.rsplit("Test=", 1)[1].split()[0])
+            for l in out.splitlines() if l.startswith("#Iter")
+        ]
+
+    _, resident = run([])
+    out_s, streamed = run(["-cache_size", "64"])  # below every .x size
+    assert np.allclose(resident, streamed, atol=1e-6), (resident, streamed)
+
+
+def test_cli_cache_size_streams_test_set(tmp_path):
+    """With -cache_size below both binaries' sizes, the TEST set streams
+    too (reference parity: test data goes through the same HD cache,
+    libfm.cpp:141-174) and metrics match the resident run."""
+    import contextlib
+    import io
+
+    train, test = movielens_like(num_users=30, num_items=25, num_ratings=900, seed=8)
+    stem, stem_te = str(tmp_path / "m"), str(tmp_path / "mt")
+    train.to_binary(stem, with_transpose=True)
+    test.to_binary(stem_te, with_transpose=False)
+    tep_text = str(tmp_path / "m.test")
+    test.to_libfm_text(tep_text)
+
+    def run(test_path, extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli.main([
+                "-task", "r", "-train", stem, "-test", test_path,
+                "-method", "mcmc", "-dim", "1,1,4", "-iter", "4",
+                "-seed", "1", *extra,
+            ])
+        assert rc == 0
+        out = buf.getvalue()
+        return out, [
+            float(l.rsplit("Test=", 1)[1].split()[0])
+            for l in out.splitlines() if l.startswith("#Iter")
+        ]
+
+    _, resident = run(tep_text, [])
+    out_s, streamed = run(stem_te, ["-cache_size", "1000"])
+    assert "Test set out-of-core" in out_s
+    assert np.allclose(resident, streamed, atol=1e-5), (resident, streamed)
