@@ -114,6 +114,17 @@ from libfm_tpu.tasks import TASK_REGRESSION
 from libfm_tpu.utils.timers import iter_clocks
 
 
+def _einsum_hp(*args, **kwargs):
+    """einsum pinned to full-f32 multiply precision: the within-sweep
+    cache corrections cancel large terms (SQQ0 sums over hundreds of
+    cases vs small dq deltas), and TPU's default bf16 einsum multiplies
+    corrupt them enough to destabilise the chain (observed on the 1M-case
+    fat-block probe: divergence at default precision, clean convergence
+    at HIGHEST; CPU f32 never shows it)."""
+    kwargs.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kwargs)
+
+
 def _pow2_at_least(x: int, lo: int = 8) -> int:
     p = lo
     while p < x:
@@ -161,7 +172,7 @@ def blocked_theta_draw(GGf, thf, lamf, muf, zf, alpha, k: int, do_sample):
     # feature's own current contribution; HtH theta_old removes it)
     b0 = alpha * (aa * th0 + (qa * thv).sum(-1)) - alpha * ae + lam0 * muf[:, 0]
     bv = (
-        alpha * (qa * th0[:, None] + jnp.einsum("fij,fj->fi", Qq, thv))
+        alpha * (qa * th0[:, None] + _einsum_hp("fij,fj->fi", Qq, thv))
         - alpha * qe
         + lamv * muf[:, 1:]
     )
@@ -170,7 +181,7 @@ def blocked_theta_draw(GGf, thf, lamf, muf, zf, alpha, k: int, do_sample):
     S = (
         alpha * Qq
         + jax.vmap(jnp.diag)(lamv)
-        - jnp.einsum("fi,fj->fij", col, col)
+        - _einsum_hp("fi,fj->fij", col, col)
     )
     cholS = cholesky_lanes(S)
     y0 = b0 / s0
@@ -744,12 +755,12 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 e_slot, h = _slot_h(sc, sv, sf)
                 a = h[..., 0]
                 hq = h[..., 1:]
-                Qq = jnp.einsum(
+                Qq = _einsum_hp(
                     "swi,swj->sij", hq, hq,
                     preferred_element_type=acc_t,
                 ).astype(f)
-                qa = jnp.einsum("swi,sw->si", hq, a)
-                qe = jnp.einsum("swi,sw->si", hq, e_slot)
+                qa = _einsum_hp("swi,sw->si", hq, a)
+                qe = _einsum_hp("swi,sw->si", hq, e_slot)
                 aa = (a * a).sum(axis=1)
                 ae = (a * e_slot).sum(axis=1)
                 Gseg = jnp.concatenate(
@@ -780,7 +791,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         delta = theta_new - theta_old
 
         # fused update table [F+1, d+1]: delta + s_j = v_old . dv
-        s_col = jnp.einsum("fk,fk->f", theta_old[:, 1:], delta[:, 1:])
+        s_col = _einsum_hp("fk,fk->f", theta_old[:, 1:], delta[:, 1:])
         upd_tab = jnp.concatenate([delta, s_col[:, None]], axis=1)
         upd_tab = jnp.concatenate([upd_tab, jnp.zeros((1, d + 1), f)], axis=0)
         for sc_a, sv_a, sf_a in blk["buckets"]:
@@ -790,7 +801,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 tab = upd_tab[jnp.minimum(sf, F)]
                 dpred = sv * (
                     tab[:, None, 0]
-                    + jnp.einsum("swk,sk->sw", Q_slot, tab[:, 1 : 1 + k])
+                    + _einsum_hp("swk,sk->sw", Q_slot, tab[:, 1 : 1 + k])
                 ) - (sv * sv) * tab[:, None, 1 + k]
                 dQ = sv[..., None] * tab[:, None, 1 : 1 + k]
                 drows = jnp.concatenate([dpred[..., None], dQ], axis=-1)
@@ -826,7 +837,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             we = e_r.sum(axis=1)
             SQ = Q_r.sum(axis=1)
             SQe = (Q_r * e_r[..., None]).sum(axis=1)
-            SQQ = jnp.einsum(
+            SQQ = _einsum_hp(
                 "rlf,rlg->rfg", Q_r, Q_r,
                 preferred_element_type=acc_t,
             ).astype(f)
@@ -890,14 +901,14 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     SQe_c = (
                         SQe0[eb_c]
                         + sb[:, None] * SQ0_e
-                        + jnp.einsum("efg,eg->ef", SQQ0[eb_c], dq)
+                        + _einsum_hp("efg,eg->ef", SQQ0[eb_c], dq)
                         + dq * we_c[:, None]
                     )
                     SQQ_c = (
                         SQQ0[eb_c]
-                        + jnp.einsum("ef,eg->efg", dq, SQ0_e)
-                        + jnp.einsum("ef,eg->efg", SQ0_e, dq)
-                        + wn[:, None, None] * jnp.einsum("ef,eg->efg", dq, dq)
+                        + _einsum_hp("ef,eg->efg", dq, SQ0_e)
+                        + _einsum_hp("ef,eg->efg", SQ0_e, dq)
+                        + wn[:, None, None] * _einsum_hp("ef,eg->efg", dq, dq)
                     )
                     return wn, dq, SQ_c, we_c, SQe_c, SQQ_c
 
