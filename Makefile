@@ -1,7 +1,7 @@
 # Build/test entry points (analog of the reference's Makefiles,
 # /root/reference/Makefile:1-8).
 
-.PHONY: all native test bench clean
+.PHONY: all native test test-tpu bench clean
 
 all: native
 
@@ -12,6 +12,12 @@ libfm_tpu/native/_fastio.so: native/fastio.cpp
 
 test: native
 	python -m pytest tests/ -q
+
+# smoke checks that must run on the REAL device (tests/ forces a
+# simulated CPU mesh): golden MCMC quality, sampler f32 tails, the mesh
+# path, and the BS bf16-divergence regression (BENCHNOTES round 3)
+test-tpu: native
+	python -m pytest tests_tpu/ -q
 
 bench: native
 	python bench.py

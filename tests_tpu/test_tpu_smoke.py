@@ -1,0 +1,173 @@
+"""TPU smoke tests (VERDICT round-2 item #6): the checks that CPU-only
+testing cannot perform, on the real chip.
+
+1. golden MCMC regression vs the reference binary (quality on TPU);
+2. sampler f32 tail stability (the `_normal_hazard` class of bug —
+   f64 CPU math hides f32 TPU failure modes, ops/samplers.py:93-108);
+3. mesh-path parity on a 1-device mesh (the sharded code path compiles
+   and matches the unsharded engine on this backend);
+4. fat-block BS chain convergence at scale — the regression test for
+   the round-3 TPU-only bf16-precision divergence
+   (BENCHNOTES "TPU-only correctness bug").
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libfm_tpu.data.synth import movielens_like
+from libfm_tpu.models.fm import FMConfig
+
+REF = "/root/reference"
+BUILD = "/tmp/refbuild_test"
+
+
+@pytest.fixture(scope="module")
+def ref_bin():
+    if not os.path.isdir(REF) or shutil.which("g++") is None:
+        pytest.skip("reference source or g++ unavailable")
+    binary = os.path.join(BUILD, "bin", "libFM")
+    if not os.path.exists(binary):
+        shutil.copytree(REF, BUILD, dirs_exist_ok=True)
+        subprocess.run(
+            ["make", "all"], cwd=BUILD, check=True, capture_output=True
+        )
+    return binary
+
+
+def test_golden_mcmc_on_tpu(ref_bin, tmp_path):
+    """MCMC final quality matches the reference binary when the chain
+    runs on the REAL device (tests/test_golden_vs_reference.py proves
+    this on CPU; this proves the TPU numerics)."""
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    train, test = movielens_like(
+        num_users=200, num_items=150, num_ratings=20000, seed=5
+    )
+    trp, tep = str(tmp_path / "g.train"), str(tmp_path / "g.test")
+    train.to_libfm_text(trp)
+    test.to_libfm_text(tep)
+    out = subprocess.run(
+        [ref_bin, "-task", "r", "-train", trp, "-test", tep,
+         "-method", "mcmc", "-dim", "1,1,8", "-seed", "1", "-iter", "30"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    ref_rmse = float(
+        [l for l in out.splitlines() if l.startswith("#Iter")][-1]
+        .rsplit("Test=", 1)[1].split()[0]
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    ours = MCMCVectorLearner(cfg, num_iter=30, seed=1, verbose=False)
+    ours.learn(train, test)
+    assert ours._vector_state["V"].devices() == {jax.devices()[0]}
+    assert abs(ours.history[-1]["test_all"] - ref_rmse) < 0.05, (
+        ours.history[-1]["test_all"], ref_rmse,
+    )
+
+
+def test_sampler_f32_tails_on_tpu():
+    """Truncated-normal draws and the ALS latent expectations must stay
+    finite and correctly signed deep in the f32 tail ON DEVICE — the
+    exact class of bug (ops/samplers.py:93-108 hazard fix) that f64 CPU
+    math hides."""
+    from libfm_tpu.ops import samplers
+
+    key = jax.random.PRNGKey(0)
+    for mean in (0.0, -5.0, -15.0, -30.0):
+        m = jnp.full((4096,), mean, jnp.float32)
+        draws = samplers.left_truncated_gaussian(key, 0.0, m, 1.0)
+        draws = np.asarray(draws)
+        assert np.isfinite(draws).all(), mean
+        assert (draws >= 0.0).all(), mean
+        exp = np.asarray(samplers.left_tn_expectation(m))
+        assert np.isfinite(exp).all(), mean
+        assert (exp >= 0.0).all(), mean
+        if mean <= -5.0:
+            # tail: E[X | X>0] ~ hazard(mean) stays close to 0+, draws too
+            assert exp.mean() < 0.5, (mean, exp.mean())
+    # probit link finite and in (0, 1) across the f32 range
+    p = np.asarray(samplers.cdf_gaussian(jnp.linspace(-40.0, 40.0, 1001)))
+    assert np.isfinite(p).all()
+    assert (p >= 0.0).all() and (p <= 1.0).all()
+
+
+def test_mesh_path_parity_single_device():
+    """The mesh code path (shardings, with_sharding_constraint,
+    device_put plans) must produce the identical trajectory to the
+    unsharded engine on this backend. One real chip => a 1x1 mesh; the
+    multi-device placement itself is covered by the simulated-mesh CPU
+    tests and the driver's dryrun."""
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.parallel.mesh import make_mesh
+
+    train, test = movielens_like(
+        num_users=60, num_items=50, num_ratings=3000, seed=7
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    a = MCMCVectorLearner(cfg, num_iter=5, seed=2, verbose=False)
+    a.learn(train, test)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    b = MCMCVectorLearner(cfg, num_iter=5, seed=2, verbose=False, mesh=mesh)
+    b.learn(train, test)
+    assert abs(a.history[-1]["test_all"] - b.history[-1]["test_all"]) < 2e-4
+
+
+def test_bs_fatblock_chain_converges_on_tpu():
+    """Regression test for the round-3 TPU-only divergence: at default
+    bf16 einsum precision the BS within-sweep cache corrections lose the
+    small-delta cancellations and the chain drifts AWAY from the data
+    (train RMSE 0.30 -> 1.25 on the 1M-case probe) — invisible to every
+    CPU test. With the f32-pinned einsums the chain must converge to the
+    noise floor and STAY there."""
+    from libfm_tpu.data.dataset import Dataset
+    from libfm_tpu.data.relation import RelationData, RelationJoin
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+
+    rng = np.random.default_rng(7)
+    NB, W, NF, NTR = 2000, 16, 10000, 500_000
+    cols = np.stack(
+        [np.sort(rng.choice(NF, W, replace=False)) for _ in range(NB)]
+    ).astype(np.int32)
+    vals = rng.standard_normal((NB, W)).astype(np.float32)
+    rd = RelationData(
+        np.arange(NB + 1, dtype=np.int64) * W, cols.ravel(), vals.ravel(), NF
+    )
+    rd.attr_offset = 0
+    beta = rng.standard_normal(NF).astype(np.float32) * 0.1
+    score = (vals * beta[cols]).sum(axis=1)
+
+    def build(m, y):
+        nc = len(y)
+        ds = Dataset(
+            np.zeros(nc + 1, np.int64), np.empty(0, np.int32),
+            np.empty(0, np.float32), y, 0,
+        )
+        ds.relations = [RelationJoin(rd, m)]
+        return ds
+
+    mtr = rng.integers(0, NB, NTR).astype(np.int32)
+    mte = rng.integers(0, NB, NTR // 10).astype(np.int32)
+    train = build(
+        mtr, (score[mtr] + 0.3 * rng.standard_normal(NTR)).astype(np.float32)
+    )
+    test = build(
+        mte,
+        (score[mte] + 0.3 * rng.standard_normal(NTR // 10)).astype(
+            np.float32
+        ),
+    )
+    cfg = FMConfig(num_features=NF, num_factors=32)
+    lr = MCMCVectorLearner(cfg, num_iter=9, seed=1, verbose=False)
+    lr.expand_max_ratio = 0.0  # force the BS vector engine
+    lr.learn(train, test)
+    assert lr.relational_mode == "bs_vector"
+    tr = [h["train"] for h in lr.history]
+    # converged at the noise floor (sigma = 0.3) and NOT drifting up
+    assert tr[-1] < 0.35, tr
+    assert max(tr[4:]) < 0.4, tr
