@@ -135,9 +135,11 @@ def test_golden_mcmc_classification(ref_bin, tmp_path):
 
 def test_golden_sgda(ref_bin, data_files, tmp_path):
     """Adaptive-regularization SGD vs the reference binary
-    (fm_learn_sgd_element_adapt_reg.h:276-311). Batched lambda adaptation
-    is a documented approximation, so the tolerance is the loosest of the
-    golden family."""
+    (fm_learn_sgd_element_adapt_reg.h:276-311). The B=1 oracle test
+    (tests/test_oracle_b1.py) proves the step algebra is the
+    reference's exactly; the residual gap here is RNG-init variance
+    (measured 0.0198 at batch sizes 1/16/64 alike — batching does not
+    move it), so the tolerance is 2x that measured spread."""
     from libfm_tpu.learners.sgda import SGDALearner
 
     train, test, trp, tep = data_files
@@ -166,7 +168,7 @@ def test_golden_sgda(ref_bin, data_files, tmp_path):
         verbose=False,
     )
     hist = ours.learn(train2, test, validation=val)
-    assert abs(hist[-1][1] - ref[-1]) < 0.08, (hist[-1][1], ref[-1])
+    assert abs(hist[-1][1] - ref[-1]) < 0.04, (hist[-1][1], ref[-1])
 
 
 def test_sgda_rejects_relations():
