@@ -41,9 +41,10 @@ BASELINE_ALS_S_PER_ITER = 1.885
 BASELINE_BS_S_PER_ITER = 0.39
 # reference MCMC task=c -dim 1,1,128 on the config #5 synthetic
 # (26 fields x 40000, 2.7M train rows). Measured round 3 on this
-# machine: see studies/lv_baseline (rlog time_learn median).
-# None => vs_baseline reported against the round-2 repo record.
-LV_BASELINE_S_PER_ITER = None
+# machine, 1 CPU core: rlog time_learn per-iter over 5 iters =
+# [252.7, 259.2, 267.3, 257.9, 258.2] s -> median 258.2
+# (BENCHNOTES "Config #5 reference baseline").
+LV_BASELINE_S_PER_ITER = 258.2
 LV_ROUND2_S_PER_ITER = 7.23  # BENCHNOTES round-2 record (same shape)
 
 

@@ -229,7 +229,8 @@ def csr_predict(w0, w, vt, rows, cols, vals, num_rows: int, use_bias, use_linear
 # --------------------------------------------------------------------------
 
 
-def _posterior_gaussian(num_acc, den_acc, theta, lam, mu, alpha, do_sample, key):
+def _posterior_gaussian(num_acc, den_acc, theta, lam, mu, alpha, do_sample, key,
+                        bound=None):
     """Shared conjugate-posterior formula for w and v coordinates.
 
     Reference draw_w / draw_v (/root/reference/src/libfm/src/
@@ -246,11 +247,12 @@ def _posterior_gaussian(num_acc, den_acc, theta, lam, mu, alpha, do_sample, key)
     else:
         proposal = mean
     proposal = jnp.where(jnp.isfinite(sigma_sqr), proposal, 0.0)
-    new, n_rej = samplers.finite_or(proposal, theta)
+    new, n_rej = samplers.finite_or(proposal, theta, bound=bound)
     return new, n_rej
 
 
-def draw_w_block(w, e, blk: BlockArrays, w_mu, w_lambda, alpha, do_sample, key):
+def draw_w_block(w, e, blk: BlockArrays, w_mu, w_lambda, alpha, do_sample, key,
+                 bound=None):
     """Draw all w coordinates of one conflict-free block in parallel.
 
     Per coordinate j: num_acc = sum_i x_ij * e_i, den_acc = sum_i x_ij^2
@@ -266,7 +268,7 @@ def draw_w_block(w, e, blk: BlockArrays, w_mu, w_lambda, alpha, do_sample, key):
     lam = w_lambda[blk.groups]
     mu = w_mu[blk.groups]
     w_new, n_rej = _posterior_gaussian(
-        num_acc, den_acc, w_old, lam, mu, alpha, do_sample, key
+        num_acc, den_acc, w_old, lam, mu, alpha, do_sample, key, bound=bound
     )
     delta = w_new - w_old  # [F]
     e = e.at[blk.entry_rows].add(
@@ -276,7 +278,8 @@ def draw_w_block(w, e, blk: BlockArrays, w_mu, w_lambda, alpha, do_sample, key):
     return w, e, n_rej
 
 
-def draw_v_block(v_f, e, q, blk: BlockArrays, v_mu_f, v_lambda_f, alpha, do_sample, key):
+def draw_v_block(v_f, e, q, blk: BlockArrays, v_mu_f, v_lambda_f, alpha, do_sample, key,
+                 bound=None):
     """Draw all v_{.,f} coordinates of one block in parallel.
 
     Per coordinate: h_i = x_ij*(q_i - x_ij*v), num_acc = sum h_i e_i,
@@ -293,7 +296,7 @@ def draw_v_block(v_f, e, q, blk: BlockArrays, v_mu_f, v_lambda_f, alpha, do_samp
     lam = v_lambda_f[blk.groups]
     mu = v_mu_f[blk.groups]
     v_new, n_rej = _posterior_gaussian(
-        num_acc, den_acc, v_old, lam, mu, alpha, do_sample, key
+        num_acc, den_acc, v_old, lam, mu, alpha, do_sample, key, bound=bound
     )
     delta = v_new - v_old
     d_entry = delta[blk.entry_feat]
@@ -303,7 +306,7 @@ def draw_v_block(v_f, e, q, blk: BlockArrays, v_mu_f, v_lambda_f, alpha, do_samp
     return v_f, e, q, n_rej
 
 
-def draw_unobserved(theta, idx, lam, mu, do_sample, key):
+def draw_unobserved(theta, idx, lam, mu, do_sample, key, bound=None):
     """Features absent from training data: posterior == prior
     (empty feature_data in fm_learn_mcmc.h:467-476 -> sigma^2 = 1/lambda,
     mean = mu). Returns (theta, num_rejected)."""
@@ -313,7 +316,7 @@ def draw_unobserved(theta, idx, lam, mu, do_sample, key):
     else:
         proposal = mu + jnp.zeros_like(lam)
     proposal = jnp.where(jnp.isfinite(sigma_sqr), proposal, 0.0)
-    new, n_rej = samplers.finite_or(proposal, theta[idx])
+    new, n_rej = samplers.finite_or(proposal, theta[idx], bound=bound)
     return theta.at[idx].set(new, unique_indices=True), n_rej
 
 
@@ -323,14 +326,29 @@ def draw_unobserved(theta, idx, lam, mu, do_sample, key):
 
 
 def draw_alpha(key, e, num_cases, alpha, alpha_0, gamma_0, do_multilevel, do_sample):
-    """fm_learn_mcmc.h:911-939. (ALS keeps alpha = alpha_0.)"""
+    """fm_learn_mcmc.h:911-939. (ALS keeps alpha = alpha_0.)
+
+    Beyond the reference's NaN/Inf rejection, the proposal must be
+    strictly positive: in f32 a diverging chain can overflow
+    sum(e^2) to +inf, making the gamma draw exactly 0.0 — a *finite*
+    but invalid precision that silently kills every later data term
+    (the reference never hits this: its e and the sum are f64,
+    fm_learn_mcmc.h:916-918). Rejecting alpha<=0 (keep the old value,
+    count it) preserves the reference's keep-old recovery semantics
+    under the f32 failure mode."""
     if not do_multilevel:
         return jnp.asarray(alpha_0, dtype=e.dtype), jnp.zeros((), jnp.int32)
     alpha_n = alpha_0 + num_cases
-    gamma_n = gamma_0 + jnp.sum(e * e)
+    # clamp each e^2 (and the total) so a runaway residual yields a TINY
+    # positive alpha instead of an infinite gamma_n: with alpha ~ n/sum,
+    # the next sweep's posteriors collapse to the priors and the chain
+    # reverts to prior scale — self-healing, where inf would be terminal
+    e2 = e * e
+    e2 = jnp.where(jnp.isfinite(e2), jnp.minimum(e2, 1e30), 1e30)
+    gamma_n = jnp.minimum(gamma_0 + jnp.sum(e2), 1e37)
     proposal = samplers.gamma(key, alpha_n / 2.0, gamma_n / 2.0)
-    new, n_rej = samplers.finite_or(proposal, alpha)
-    return new, n_rej
+    ok = jnp.isfinite(proposal) & (proposal > 0.0)
+    return jnp.where(ok, proposal, alpha), jnp.sum(~ok).astype(jnp.int32)
 
 
 def draw_theta_hyperpriors(
@@ -725,6 +743,12 @@ class MCMCLearner:
         w0_mean_0 = self.w0_mean_0
         reg0 = self.reg0
         min_t, max_t = self.min_target, self.max_target
+        # f32 runaway bound for parameter draws (samplers.DRAW_BOUND),
+        # scaled by the target magnitude so legitimately huge-scale
+        # regression targets (e.g. timestamps) keep fitting
+        draw_bound = samplers.DRAW_BOUND * max(
+            1.0, abs(float(min_t)), abs(float(max_t))
+        )
 
         def draw_all(state: MCMCState, statics):
             blocks = statics["blocks"]
@@ -760,7 +784,7 @@ class MCMCLearner:
                     if do_sample
                     else mean
                 )
-                w0_new, r = samplers.finite_or(prop, w0)
+                w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
                 rej += r
                 e = e + (w0_new - w0)
                 w0 = w0_new
@@ -780,7 +804,8 @@ class MCMCLearner:
                 for blk in blocks:
                     key, k1 = jax.random.split(key)
                     w, e, r = draw_w_block(
-                        w, e, blk, w_mu, w_lambda, alpha, do_sample, k1
+                        w, e, blk, w_mu, w_lambda, alpha, do_sample, k1,
+                        bound=draw_bound,
                     )
                     rej += r
                 if stacked is not None:
@@ -795,7 +820,8 @@ class MCMCLearner:
                             sb.entry_vals, sb.entry_feat, exact=True,
                         )
                         w, e, r = draw_w_block(
-                            w, e, blk, w_mu, w_lambda, alpha, do_sample, kb
+                            w, e, blk, w_mu, w_lambda, alpha, do_sample, kb,
+                            bound=draw_bound,
                         )
                         return (w, e, rej + r), None
 
@@ -808,7 +834,7 @@ class MCMCLearner:
                         w, unobserved,
                         w_lambda[attr_group[unobserved]],
                         w_mu[attr_group[unobserved]],
-                        do_sample, k1,
+                        do_sample, k1, bound=draw_bound,
                     )
                     rej += r
 
@@ -862,7 +888,7 @@ class MCMCLearner:
                     for bi, blk in enumerate(blocks):
                         v_f, e, q, r = draw_v_block(
                             v_f, e, q, blk, v_mu_f, v_lam_f, alpha,
-                            do_sample, keys[bi],
+                            do_sample, keys[bi], bound=draw_bound,
                         )
                         rej += r
                     if stacked is not None:
@@ -879,7 +905,7 @@ class MCMCLearner:
                             )
                             v_f, e, q, r = draw_v_block(
                                 v_f, e, q, blk, v_mu_f, v_lam_f, alpha,
-                                do_sample, kb,
+                                do_sample, kb, bound=draw_bound,
                             )
                             return (v_f, e, q, rej + r), None
 
@@ -891,7 +917,7 @@ class MCMCLearner:
                             v_f, unobserved,
                             v_lam_f[attr_group[unobserved]],
                             v_mu_f[attr_group[unobserved]],
-                            do_sample, keys[-1],
+                            do_sample, keys[-1], bound=draw_bound,
                         )
                         rej += r
                     vt = jax.lax.dynamic_update_slice_in_dim(

@@ -140,7 +140,8 @@ def _pow2_at_least(x: int, lo: int = 8) -> int:
 # --------------------------------------------------------------------------
 
 
-def blocked_theta_draw(GGf, thf, lamf, muf, zf, alpha, k: int, do_sample):
+def blocked_theta_draw(GGf, thf, lamf, muf, zf, alpha, k: int, do_sample,
+                       bound=None):
     """Draw theta = (w, v) ~ N(mean, Lam^-1) for a batch of features.
 
     GGf: [F, k*k + 2k + 2] blocked stats; thf/lamf/muf/zf: [F, 1+k].
@@ -155,7 +156,10 @@ def blocked_theta_draw(GGf, thf, lamf, muf, zf, alpha, k: int, do_sample):
             alpha * aa * thf[:, 0] - alpha * ae + lamf[:, 0] * muf[:, 0]
         ) / prec
         th_new = (mean + zf[:, 0] / jnp.sqrt(prec))[:, None]
-        ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+        ok = jnp.isfinite(th_new)
+        if bound is not None:
+            ok = ok & (jnp.abs(th_new) <= bound)
+        ok = ok.all(axis=1, keepdims=True)
         return (
             jnp.where(ok, th_new, thf),
             jnp.sum(~ok[:, 0]).astype(jnp.int32),
@@ -192,7 +196,10 @@ def blocked_theta_draw(GGf, thf, lamf, muf, zf, alpha, k: int, do_sample):
     xv = solve_upper_lanes(cholS, yv)
     x0 = (y0 - (col * xv).sum(-1)) / s0
     th_new = jnp.concatenate([x0[:, None], xv], axis=1)
-    ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+    ok = jnp.isfinite(th_new)
+    if bound is not None:
+        ok = ok & (jnp.abs(th_new) <= bound)
+    ok = ok.all(axis=1, keepdims=True)
     return jnp.where(ok, th_new, thf), jnp.sum(~ok[:, 0]).astype(jnp.int32)
 
 
@@ -357,6 +364,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     alpha_0, gamma_0 = learner.alpha_0, learner.gamma_0
     beta_0, mu_0 = learner.beta_0, learner.mu_0
     min_t, max_t = learner.min_target, learner.max_target
+    # f32 runaway bound for parameter draws (samplers.DRAW_BOUND)
+    draw_bound = samplers.DRAW_BOUND * max(
+        1.0, abs(float(min_t)), abs(float(max_t))
+    )
     use_linear = cfg.use_linear
     use_bias = cfg.use_bias
 
@@ -786,7 +797,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         else:
             z = jnp.zeros((F, d), f)
         theta_new, n_rej = blocked_theta_draw(
-            GG, theta_old, lam, mu_pr, z, alpha, k, do_sample
+            GG, theta_old, lam, mu_pr, z, alpha, k, do_sample,
+            bound=draw_bound,
         )
         delta = theta_new - theta_old
 
@@ -998,7 +1010,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     theta_new, rej = theta_old, jnp.zeros((), jnp.int32)
                 elif F_pad <= 1024:
                     theta_new, rej = blocked_theta_draw(
-                        GG, theta_old, lam, mu_pr, z, alpha, k, do_sample
+                        GG, theta_old, lam, mu_pr, z, alpha, k, do_sample,
+                        bound=draw_bound,
                     )
                 else:
                     # feature-chunked draws bound the [FC, k, k] Cholesky
@@ -1007,7 +1020,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
                     def draw_chunk(_, inp_c):
                         th_c, r_c = blocked_theta_draw(
-                            *inp_c, alpha, k, do_sample
+                            *inp_c, alpha, k, do_sample, bound=draw_bound
                         )
                         return None, (th_c, r_c)
 
@@ -1107,7 +1120,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
                 if do_sample else mean
             )
-            w0_new, r = samplers.finite_or(prop, w0)
+            w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
             rej += r
             A = A.at[:nc_train, 0].add(w0_new - w0)
             w0 = w0_new
@@ -1182,8 +1195,12 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             else:
                 w_u = w_mu[g_u]
                 v_u = v_mu[g_u] + jnp.zeros((n_unobs, k), f)
-            w_u, r1 = samplers.finite_or(w_u, w[S["unobserved"]])
-            v_u, r2 = samplers.finite_or(v_u, V[S["unobserved"]])
+            w_u, r1 = samplers.finite_or(
+                w_u, w[S["unobserved"]], bound=draw_bound
+            )
+            v_u, r2 = samplers.finite_or(
+                v_u, V[S["unobserved"]], bound=draw_bound
+            )
             rej += r1 + r2
             if use_linear:
                 w = w.at[S["unobserved"]].set(w_u, unique_indices=True)

@@ -127,7 +127,7 @@ def _build_rel_layout(join_train, join_test, nc_train: int, attr_group, f):
 
 
 def draw_w_rel_block(w_off, we, y_b, wnum, blk: BlockArrays, w_mu, w_lambda,
-                     alpha, do_sample, key):
+                     alpha, do_sample, key, bound=None):
     """Parallel draw_w_rel over one conflict-free set of block features.
 
     Posterior accumulators per feature j (fm_learn_mcmc.h:734-752):
@@ -144,7 +144,7 @@ def draw_w_rel_block(w_off, we, y_b, wnum, blk: BlockArrays, w_mu, w_lambda,
     w_old = w_off[blk.features]
     w_new, n_rej = _posterior_gaussian(
         num_acc, den_acc, w_old, w_lambda[blk.groups], w_mu[blk.groups],
-        alpha, do_sample, key,
+        alpha, do_sample, key, bound=bound,
     )
     delta = (w_new - w_old)[blk.entry_feat]
     we = we.at[b].add(x * delta * wnum[b], unique_indices=blk.exact)
@@ -154,7 +154,8 @@ def draw_w_rel_block(w_off, we, y_b, wnum, blk: BlockArrays, w_mu, w_lambda,
 
 
 def draw_v_rel_block(v_off, q_b, y_b, we, weq, wc, wc_sqr, wnum,
-                     blk: BlockArrays, v_mu_f, v_lambda_f, alpha, do_sample, key):
+                     blk: BlockArrays, v_mu_f, v_lambda_f, alpha, do_sample,
+                     key, bound=None):
     """Parallel draw_v_rel over one conflict-free set of block features.
 
     Per feature j with h = x*(qB[b] - x*v) (fm_learn_mcmc.h:849-871):
@@ -178,7 +179,7 @@ def draw_v_rel_block(v_off, q_b, y_b, we, weq, wc, wc_sqr, wnum,
     )
     v_new, n_rej = _posterior_gaussian(
         num_acc, den_acc, v_old, v_lambda_f[blk.groups], v_mu_f[blk.groups],
-        alpha, do_sample, key,
+        alpha, do_sample, key, bound=bound,
     )
     delta = (v_new - v_old)[blk.entry_feat]
     we = we.at[b].add(delta * (h * wnum[b] + x * wc[b]), unique_indices=blk.exact)
@@ -206,6 +207,10 @@ def learn_relational(learner, train: Dataset, test: Dataset):
     alpha_0, gamma_0 = learner.alpha_0, learner.gamma_0
     beta_0, mu_0 = learner.beta_0, learner.mu_0
     min_t, max_t = learner.min_target, learner.max_target
+    # f32 runaway bound for parameter draws (samplers.DRAW_BOUND)
+    draw_bound = samplers.DRAW_BOUND * max(
+        1.0, abs(float(min_t)), abs(float(max_t))
+    )
 
     attr_group_np = learner.attr_group_np
     if attr_group_np is None:
@@ -408,7 +413,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
                 samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
                 if do_sample else mean
             )
-            w0_new, r = samplers.finite_or(prop, w0)
+            w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
             rej += r
             e = e + (w0_new - w0)
             w0 = w0_new
@@ -428,7 +433,8 @@ def learn_relational(learner, train: Dataset, test: Dataset):
             for blk in main_blocks:
                 key, k1 = jax.random.split(key)
                 w, e, r = draw_w_block(
-                    w, e, blk, w_mu, w_lambda, alpha, do_sample, k1
+                    w, e, blk, w_mu, w_lambda, alpha, do_sample, k1,
+                    bound=draw_bound,
                 )
                 rej += r
             # relation w draws (:478-509) — sequential over relations
@@ -445,7 +451,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
                     key, k1 = jax.random.split(key)
                     w_off, we, y_b, r = draw_w_rel_block(
                         w_off, we, y_b, d["wnum"], blk, w_mu, w_lambda,
-                        alpha, do_sample, k1,
+                        alpha, do_sample, k1, bound=draw_bound,
                     )
                     rej += r
                 w = jax.lax.dynamic_update_slice_in_dim(w, w_off, off, axis=0)
@@ -458,7 +464,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
                     w, unobserved,
                     w_lambda[attr_group[unobserved]],
                     w_mu[attr_group[unobserved]],
-                    do_sample, k1,
+                    do_sample, k1, bound=draw_bound,
                 )
                 rej += r
 
@@ -524,7 +530,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
                 for blk in main_blocks:
                     v_f, e, q, r = draw_v_block(
                         v_f, e, q, blk, v_mu_f, v_lam_f, alpha,
-                        do_sample, keys[ki],
+                        do_sample, keys[ki], bound=draw_bound,
                     )
                     ki += 1
                     rej += r
@@ -548,7 +554,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
                         v_off, q_b, y_b, we, weq, r = draw_v_rel_block(
                             v_off, q_b, y_b, we, weq, wc, wc_sqr,
                             d["wnum"], blk, v_mu_f, v_lam_f, alpha,
-                            do_sample, keys[ki],
+                            do_sample, keys[ki], bound=draw_bound,
                         )
                         ki += 1
                         rej += r
@@ -566,6 +572,7 @@ def learn_relational(learner, train: Dataset, test: Dataset):
                         v_lam_f[attr_group[unobserved]],
                         v_mu_f[attr_group[unobserved]],
                         do_sample, keys[ki] if ki < len(keys) else keys[-1],
+                        bound=draw_bound,
                     )
                     rej += r
 

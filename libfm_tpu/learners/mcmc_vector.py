@@ -373,6 +373,11 @@ class MCMCVectorLearner(MCMCLearner):
         alpha_0, gamma_0 = self.alpha_0, self.gamma_0
         beta_0, mu_0 = self.beta_0, self.mu_0
         min_t, max_t = self.min_target, self.max_target
+        # f32 runaway bound for parameter draws (samplers.DRAW_BOUND),
+        # target-scaled; rejected draws keep the old value and count
+        draw_bound = samplers.DRAW_BOUND * max(
+            1.0, abs(float(min_t)), abs(float(max_t))
+        )
         use_linear = cfg.use_linear
 
         layout_iter, attr_group_np = self._build_vector_layouts(train)
@@ -1171,7 +1176,10 @@ class MCMCVectorLearner(MCMCLearner):
                             + lamf[:, 0] * muf[:, 0]
                         ) / prec
                         th_new = (mean + zf[:, 0] / jnp.sqrt(prec))[:, None]
-                        ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                        ok = (
+                            jnp.isfinite(th_new)
+                            & (jnp.abs(th_new) <= draw_bound)
+                        ).all(axis=1, keepdims=True)
                         th_new = jnp.where(ok, th_new, thf)
                         return None, (
                             th_new,
@@ -1221,7 +1229,10 @@ class MCMCVectorLearner(MCMCLearner):
                     xv = solve_upper_lanes(cholS, yv)
                     x0 = (y0 - (col * xv).sum(-1)) / s0
                     th_new = jnp.concatenate([x0[:, None], xv], axis=1)
-                    ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                    ok = (
+                        jnp.isfinite(th_new)
+                        & (jnp.abs(th_new) <= draw_bound)
+                    ).all(axis=1, keepdims=True)
                     th_new = jnp.where(ok, th_new, thf)
                     return None, (th_new, jnp.sum(~ok[:, 0]).astype(jnp.int32))
 
@@ -1281,7 +1292,10 @@ class MCMCVectorLearner(MCMCLearner):
                     wsol = cho_solve_lanes(cholK, ytil - v)
                     phi_vec = u + Dinv * jnp.einsum("cwd,cw->cd", Phi, wsol)
                     th_new = muf + phi_vec
-                    ok = jnp.isfinite(th_new).all(axis=1, keepdims=True)
+                    ok = (
+                        jnp.isfinite(th_new)
+                        & (jnp.abs(th_new) <= draw_bound)
+                    ).all(axis=1, keepdims=True)
                     th_new = jnp.where(ok, th_new, thf)
                     th_buf = th_buf.at[sf].set(th_new)
                     n_rej = n_rej + jnp.sum(
@@ -1422,7 +1436,7 @@ class MCMCVectorLearner(MCMCLearner):
                     samplers.gaussian(k1, mean, jnp.sqrt(sigma_sqr))
                     if do_sample else mean
                 )
-                w0_new, r = samplers.finite_or(prop, w0)
+                w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
                 rej += r
                 A = A.at[:nc_train, 0].add(w0_new - w0)
                 w0 = w0_new
@@ -1493,8 +1507,8 @@ class MCMCVectorLearner(MCMCLearner):
                 else:
                     w_u = w_mu[g_u]
                     v_u = v_mu[g_u] + jnp.zeros((n_unobs, k), f)
-                w_u, r1 = samplers.finite_or(w_u, w[unobserved])
-                v_u, r2 = samplers.finite_or(v_u, V[unobserved])
+                w_u, r1 = samplers.finite_or(w_u, w[unobserved], bound=draw_bound)
+                v_u, r2 = samplers.finite_or(v_u, V[unobserved], bound=draw_bound)
                 rej += r1 + r2
                 if use_linear:
                     w = w.at[unobserved].set(w_u, unique_indices=True)

@@ -123,10 +123,27 @@ def right_tn_expectation(mu):
     return mu - _normal_hazard(mu)
 
 
-def finite_or(new, old):
+# f32 runaway bound for PARAMETER draws (w0/w/V), scaled by the target
+# magnitude at each learn(). In f64 (the reference) a rare huge-but-finite
+# draw from an ill-conditioned posterior is harmless — the next sweep's
+# conditional pulls it back. In f32 it overflows sum(e^2) (and then the
+# per-feature statistics) within a couple of iterations, locking the
+# chain into a permanent all-rejected state (observed on-chip: CTR probit
+# chain dead at iteration ~65 with alpha == 0.0; BENCHNOTES "f32 runaway
+# cascade"). Rejecting |draw| > bound (keep old, count it) is the f32
+# analog of the reference's NaN/Inf rule: it never binds on a healthy
+# chain (parameters are O(10), the default bound is 1e6 x target scale)
+# and keeps every downstream statistic representable so the chain heals.
+DRAW_BOUND = 1e6
+
+
+def finite_or(new, old, bound=None):
     """Keep the old value wherever the new draw is NaN/Inf — the
     reference's per-draw rejection rule
-    (/root/reference/src/libfm/src/fm_learn_mcmc.h:700-724). Returns
-    (value, num_rejected)."""
+    (/root/reference/src/libfm/src/fm_learn_mcmc.h:700-724) — or, with
+    `bound`, wherever |new| exceeds it (the f32 runaway analog, see
+    DRAW_BOUND). Returns (value, num_rejected)."""
     ok = jnp.isfinite(new)
+    if bound is not None:
+        ok = ok & (jnp.abs(new) <= bound)
     return jnp.where(ok, new, old), jnp.sum(~ok)

@@ -27,6 +27,9 @@ import time
 
 import numpy as np
 
+# runnable as `python studies/ctr_quality.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 WORK = "/tmp/ctr_quality"
 REF_BIN = "/tmp/refbuild_test/bin/libFM"
 N_EXAMPLES = 500_000  # -> 450K train / 50K test

@@ -108,3 +108,76 @@ def test_tn_expectations_stable_in_the_tail():
     assert abs(float(left[-1]) - 50.0) < 1e-3  # mu=50: ~mu
     # symmetry: E[z|z<=0, mu] = -E[z|z>=0, -mu]
     assert bool(jnp.allclose(right, -left, atol=1e-4))
+
+
+def test_finite_or_bound_rejects_runaway():
+    """|new| > bound is the f32 analog of NaN (samplers.DRAW_BOUND): an
+    astronomically large but finite draw starts an overflow cascade that
+    f64 (the reference) never sees."""
+    new = jnp.asarray([1.0, 2e6, -3e6, 5.0])
+    old = jnp.asarray([9.0, 9.0, 9.0, 9.0])
+    out, n = samplers.finite_or(new, old, bound=1e6)
+    assert np.allclose(np.asarray(out), [1.0, 9.0, 9.0, 5.0])
+    assert int(n) == 2
+    # without a bound the huge values pass (backward compatible)
+    out, n = samplers.finite_or(new, old)
+    assert int(n) == 0
+
+
+def test_draw_alpha_survives_runaway_residuals():
+    """sum(e^2) overflowing f32 (or containing inf) must yield a TINY
+    positive alpha, not 0.0 or a rejected-forever state — observed
+    on-chip: a CTR probit chain died at iteration ~65 with alpha == 0.0
+    when a runaway residual made gamma_n infinite (the f32 failure mode
+    of fm_learn_mcmc.h:911-939, whose f64 never overflows)."""
+    from libfm_tpu.learners.mcmc import draw_alpha
+
+    key = jax.random.PRNGKey(0)
+    for e in (
+        jnp.full((1000,), 1e20, jnp.float32),          # e^2 == inf per case
+        jnp.asarray([jnp.inf, 1.0, -jnp.inf] * 10),    # literal infs
+        jnp.asarray([jnp.nan] * 10),                   # NaN residuals
+    ):
+        alpha, n_rej = draw_alpha(
+            key, e, e.shape[0], jnp.asarray(0.7), 1.0, 1.0,
+            do_multilevel=True, do_sample=True,
+        )
+        a = float(alpha)
+        assert np.isfinite(a) and a > 0.0, (a, float(e[0]))
+
+    # healthy residuals: the clamp never binds and the draw is the plain
+    # conjugate gamma draw (bitwise path identical to the unclamped one)
+    e = jax.random.normal(key, (1000,), jnp.float32)
+    alpha, n_rej = draw_alpha(
+        key, e, 1000, jnp.asarray(0.7), 1.0, 1.0, True, True
+    )
+    assert 0.2 < float(alpha) < 5.0 and int(n_rej) == 0
+
+
+def test_blocked_theta_draw_bound_rejects():
+    """A finite-but-runaway joint draw keeps the old theta when bound is
+    set (and passes when it is not)."""
+    from libfm_tpu.learners.mcmc_rel_vector import blocked_theta_draw
+
+    k = 2
+    F = 1
+    # stats engineered for a huge posterior mean: tiny precision, big b
+    GG = np.zeros((F, k * k + 2 * k + 2), np.float32)
+    GG[:, 0] = 1e-8   # Qq[0,0]
+    GG[:, 3] = 1e-8   # Qq[1,1]
+    GG[:, k * k + k] = -1e4      # qe[0] -> b huge
+    GG[:, k * k + 2 * k] = 1e-8  # aa
+    th = jnp.zeros((F, 1 + k), jnp.float32)
+    lam = jnp.full((F, 1 + k), 1e-8, jnp.float32)
+    mu = jnp.zeros((F, 1 + k), jnp.float32)
+    z = jnp.zeros((F, 1 + k), jnp.float32)
+    new_unbounded, _ = blocked_theta_draw(
+        jnp.asarray(GG), th, lam, mu, z, jnp.asarray(1.0), k, False
+    )
+    assert np.abs(np.asarray(new_unbounded)).max() > 1e6  # genuinely huge
+    new_bounded, n_rej = blocked_theta_draw(
+        jnp.asarray(GG), th, lam, mu, z, jnp.asarray(1.0), k, False,
+        bound=1e6,
+    )
+    assert np.allclose(np.asarray(new_bounded), 0.0)
+    assert int(n_rej) == 1
