@@ -21,6 +21,7 @@ baseline" and BENCHNOTES.md):
 """
 
 import argparse
+import contextlib
 import json
 import sys
 import time
@@ -375,15 +376,20 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # stdout carries ONLY the final JSON line; learner #Iter progress
+    # (verbose=True) goes to stderr so the artifact stays parseable
     if args.workload != "all":
-        print(json.dumps(WORKLOADS[args.workload](args)))
+        with contextlib.redirect_stdout(sys.stderr):
+            r = WORKLOADS[args.workload](args)
+        print(json.dumps(r))
         return
 
     results = []
     for name, fn in WORKLOADS.items():
         print(f"=== workload {name} ===", file=sys.stderr, flush=True)
         try:
-            r = fn(args)
+            with contextlib.redirect_stdout(sys.stderr):
+                r = fn(args)
         except Exception as e:  # record the failure, keep the run alive
             r = {
                 "metric": f"{name}_FAILED",

@@ -217,6 +217,10 @@ class _RelBlockStack:
 
     feats: np.ndarray  # int32 [nblk, F_pad] global ids (pad -> n)
     entry_b: np.ndarray  # int32 [nblk, E_pad] block rows (pad -> nb)
+    # scatter ids for the s/dQB updates: real entries == entry_b, pads
+    # get UNIQUE dummy rows nb+1.. so the update scatter can take the
+    # unique-indices fast path (duplicate pad ids force a sort pass)
+    entry_bs: np.ndarray  # int32 [nblk, E_pad]
     entry_x: np.ndarray  # float32 [nblk, E_pad] (pad -> 0)
     entry_f: np.ndarray  # int32 [nblk, E_pad] block-LOCAL pos (monotone pad)
     F_pad: int
@@ -280,17 +284,20 @@ def _build_rel_layout(join_tr, join_te, attr_group, n: int):
         feats[:F] = b.features.astype(np.int64) + rd.attr_offset
         eb = np.full(E_pad, nb, np.int32)
         eb[:E] = b.entry_rows
+        ebs = eb.copy()  # unique dummy rows for the pad tail
+        ebs[E:] = nb + 1 + np.arange(E_pad - E, dtype=np.int32)
         ex = np.zeros(E_pad, np.float32)
         ex[:E] = b.entry_vals
         ef = np.full(E_pad, F_pad - 1, np.int32)  # monotone scatter pad
         ef[:E] = b.entry_feat
-        by_shape.setdefault((F_pad, E_pad), []).append((feats, eb, ex, ef))
+        by_shape.setdefault((F_pad, E_pad), []).append((feats, eb, ebs, ex, ef))
     stacks = [
         _RelBlockStack(
             feats=np.stack([t[0] for t in grp]),
             entry_b=np.stack([t[1] for t in grp]),
-            entry_x=np.stack([t[2] for t in grp]),
-            entry_f=np.stack([t[3] for t in grp]),
+            entry_bs=np.stack([t[2] for t in grp]),
+            entry_x=np.stack([t[3] for t in grp]),
+            entry_f=np.stack([t[4] for t in grp]),
             F_pad=Fp,
             E_pad=Ep,
         )
@@ -570,6 +577,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 dict(
                     feats=jnp.asarray(st.feats),
                     entry_b=jnp.asarray(st.entry_b),
+                    entry_bs=jnp.asarray(st.entry_bs),
                     entry_x=jnp.asarray(st.entry_x, dtype=f),
                     entry_f=jnp.asarray(st.entry_f),
                 )
@@ -875,9 +883,28 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             return A, w, V, jnp.zeros((), jnp.int32), key
         wnum = dr["wnum"]  # [nb+1]
         we0, SQ0, SQe0, SQQ0 = build_rel_caches(A, dr, nb)
-        s = jnp.zeros((nb + 1,), f)
-        dQB = jnp.zeros((nb + 1, k), f)
+        # s/dQB carry a dummy-row tail so the update scatters can use
+        # UNIQUE ids for padded entries (entry_bs); dummy rows only ever
+        # accumulate exact zeros (pad x == 0) and are never read back
+        # (reads use entry_b, whose pads point at the zero row nb)
+        ext = max((Ep for (_, Ep) in shapes), default=1)
+        s = jnp.zeros((nb + 1 + ext,), f)
+        dQB = jnp.zeros((nb + 1 + ext, k), f)
         n_rej = jnp.zeros((), jnp.int32)
+        # symmetric QQ moment packing (same trick as the flat engine's
+        # case-major stats): the x^2-weighted SQQ moment is bitwise
+        # symmetric, so only the T = k(k+1)/2 upper-triangle columns are
+        # accumulated and the full matrix is unpacked by gather — the
+        # mirror entries are the same commutative products summed in the
+        # same order, so the unpack is bit-identical
+        T = k * (k + 1) // 2
+        iu0_np, iu1_np = np.triu_indices(k)
+        iu0 = jnp.asarray(iu0_np, jnp.int32)
+        iu1 = jnp.asarray(iu1_np, jnp.int32)
+        sym_np = np.zeros((k, k), np.int32)
+        sym_np[iu0_np, iu1_np] = np.arange(T, dtype=np.int32)
+        sym_np[iu1_np, iu0_np] = sym_np[iu0_np, iu1_np]
+        sym_idx = jnp.asarray(sym_np.reshape(-1))
 
         for (F_pad, E_pad), st in zip(shapes, dr["stacks"]):
             nblk = st["feats"].shape[0]
@@ -886,7 +913,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 zs = jax.random.normal(kz, (nblk, F_pad, d), dtype=f)
             else:
                 zs = jnp.zeros((nblk, F_pad, d), f)
-            MW = k * k + 3 * k + 5
+            MW = T + 3 * k + 5
             # entry chunking bounds the [EC, MW] moment temp (and the
             # [EC, k, k] gathered-cache temps) at any k — both EC and
             # E_pad are powers of two, so EC divides E_pad
@@ -896,7 +923,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
             def block_step(carry, inp):
                 w, V, s, dQB, n_rej = carry
-                feats, eb, ex, ef, z = inp
+                feats, eb, ebs, ex, ef, z = inp
                 theta_old = jnp.concatenate(
                     [w[feats][:, None], V[feats]], axis=1
                 )  # [F_pad, d]
@@ -934,7 +961,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     x4 = x2 * x2
                     mom_rows = jnp.concatenate(
                         [
-                            (x2[:, None, None] * SQQ_c).reshape(EC, k * k),
+                            x2[:, None] * SQQ_c[:, iu0, iu1],  # [EC, T]
                             x2[:, None] * SQ_c,
                             x3[:, None] * SQ_c,
                             ex_c[:, None] * SQe_c,
@@ -966,10 +993,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 # reconstruct [Qq | qa | qe | aa | ae] (v_j-free identities,
                 # same as the flat engine's case-major reconstruction)
                 vo = theta_old[:, 1:]  # [F_pad, k]
-                M2 = MOM[:, : k * k]
-                S2 = MOM[:, k * k : k * k + k]
-                S3 = MOM[:, k * k + k : k * k + 2 * k]
-                SQe_f = MOM[:, k * k + 2 * k : k * k + 3 * k]
+                M2 = MOM[:, :T][:, sym_idx]  # unpack symmetric [*, k*k]
+                S2 = MOM[:, T : T + k]
+                S3 = MOM[:, T + k : T + 2 * k]
+                SQe_f = MOM[:, T + 2 * k : T + 3 * k]
                 m2 = MOM[:, -5]
                 m3 = MOM[:, -4]
                 m4 = MOM[:, -3]
@@ -1042,16 +1069,27 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 # have x = 0 (zero contributions to row nb).
                 def upd_chunk(carry, inp_c):
                     s, dQB = carry
-                    eb_c, ex_c, ef_c = inp_c
+                    eb_c, ebs_c, ex_c, ef_c = inp_c
                     dq = dQB[eb_c]
-                    dw_e = delta[ef_c, 0]
-                    dv_e = delta[ef_c, 1:]
-                    v_old_e = theta_old[ef_c, 1:]
+                    # ONE full-row gather then slice: `x[idx, 1:]` lowers
+                    # to an offset gather that runs ~7x slower on TPU
+                    # than gather-then-slice (measured 3.4 vs 0.47 ms at
+                    # [2048, 33]); this was the dominant cost of the
+                    # whole update pass
+                    de = delta[ef_c]
+                    dw_e = de[:, 0]
+                    dv_e = de[:, 1:]
+                    v_old_e = theta_old[ef_c][:, 1:]
                     ds = ex_c * (
                         dw_e + (dv_e * (dq - ex_c[:, None] * v_old_e)).sum(-1)
                     )
-                    s = s.at[eb_c].add(ds)
-                    dQB = dQB.at[eb_c].add(ex_c[:, None] * dv_e)
+                    # ebs: real entries hit distinct block rows (the
+                    # partition is conflict-free) and pads hit unique
+                    # dummy rows -> the scatter takes the fast path
+                    s = s.at[ebs_c].add(ds, unique_indices=True)
+                    dQB = dQB.at[ebs_c].add(
+                        ex_c[:, None] * dv_e, unique_indices=True
+                    )
                     return (s, dQB), None
 
                 if "upd" not in _skip:
@@ -1059,6 +1097,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                         upd_chunk, (s, dQB),
                         (
                             eb.reshape(-1, EC),
+                            ebs.reshape(-1, EC),
                             ex.reshape(-1, EC),
                             ef.reshape(-1, EC),
                         ),
@@ -1071,7 +1110,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             (w, V, s, dQB, n_rej), _ = jax.lax.scan(
                 block_step,
                 (w, V, s, dQB, n_rej),
-                (st["feats"], st["entry_b"], st["entry_x"], st["entry_f"], zs),
+                (st["feats"], st["entry_b"], st["entry_bs"], st["entry_x"],
+                 st["entry_f"], zs),
             )
 
         # resync A: e += s[map] + dQB[map] . Q0;  Q += dQB[map]
