@@ -56,9 +56,12 @@ def _median_iter_s(learner):
 def bench_sgd(args):
     """Config #1: SGD regression k=8, ML-10M scale, packed-epoch SGD.
 
-    Known result (BENCHNOTES "SGD config #1 floor proof"): a single chip
-    is BELOW the 1-core CPU at k=8 by hardware floor (~25-37 ns/row
-    random access x 2 row ops/entry); crossover is k~32."""
+    Round-3 rework (BENCHNOTES "SGD scatter pipeline"): transposed
+    update math + static pre-sorted scatter order + align=1 batching
+    took the epoch 1.79 -> 0.33 s — the round-2 "hardware floor"
+    attribution was wrong for this table size (3 MB gathers at
+    ~2.2 ns/row; the real costs were pad entries, lane starvation, and
+    per-batch scatter sorts)."""
     import jax
 
     from libfm_tpu.learners.sgd import SGDLearner
@@ -85,8 +88,8 @@ def bench_sgd(args):
             "test_rmse": round(float(learner.history[-1][1]), 4),
             "train_rows": train.num_rows,
             "device": str(jax.devices()[0]),
-            "note": "k=8 single-chip < CPU by row-op latency floor "
-            "(BENCHNOTES floor proof); k>=32 crosses over",
+            "note": "transposed-math + presorted-scatter epoch "
+            "(BENCHNOTES 'SGD scatter pipeline')",
             "total_wall_s": round(time.time() - t0, 1),
         },
     }

@@ -82,7 +82,7 @@ def batch_dataset(
     ds: Dataset,
     batch_size: int,
     max_nnz: int | None = None,
-    align: int = 8,
+    align: int = 1,
     drop_remainder: bool = False,
 ) -> BatchedCSR:
     """Batch a dataset into padded [num_batches, B, L] arrays.
@@ -90,6 +90,12 @@ def batch_dataset(
     The final partial batch is padded with zero rows (row_mask False);
     padded rows have target 0 and contribute nothing when masked metrics
     are used.
+
+    align=1 (the default) pads L to the true max row nnz: padded
+    entries are mathematically inert (id 0, value 0) but still cost one
+    gather + one scatter row-op each in the SGD epoch — measured
+    ~14-22 ns/entry, so an L=2 dataset padded to 8 wastes 3/4 of the
+    epoch (BENCHNOTES "SGD scatter pipeline").
     """
     ids, vals = pad_rows(ds, max_nnz=max_nnz, align=align)
     n = ds.num_rows

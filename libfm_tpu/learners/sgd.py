@@ -100,64 +100,92 @@ def make_epoch_fn(cfg: FMConfig, task: int):
 
     The scan body works on a PACKED parameter table P = [w | V] ([n,
     1+k]) so each mini-batch costs ONE row gather + ONE row scatter
-    instead of two of each — SGD on one-hot data is row-op-latency
-    bound (BENCHNOTES.md "SGD throughput"), so halving row ops ~halves
-    the epoch. Same math as sgd_batch_update (exact fm_sgd.h formulas);
-    pack/unpack happen once per epoch inside the jit.
+    instead of two of each. Two further measured TPU optimizations
+    (studies/gather_floor.py + BENCHNOTES "SGD scatter pipeline"):
+
+    - all per-entry math runs TRANSPOSED, [1+k, B*L], so the batch dim
+      sits in VPU lanes — the natural [B, L, 1+k] orientation leaves
+      ~9/128 lanes live and ran ~2.3x slower end to end;
+    - the scatter indices are pre-sorted on the host once per batch
+      stack (ids are static across epochs) and the updates permuted
+      inside the jit, so XLA's scatter lowering skips its per-batch
+      bitonic sort (`indices_are_sorted=True`).
+
+    Same math as sgd_batch_update (exact fm_sgd.h formulas) up to f32
+    summation order for duplicate-feature scatters; pack/unpack happen
+    once per epoch inside the jit.
     """
     k = cfg.num_factors
 
-    def packed_step(w0, P, ids, vals, y, row_mask, lrs, min_t, max_t):
-        rows = P[ids]  # [B, L, 1+k] — the single gather
-        w_g = rows[..., 0]
-        v_g = rows[..., 1:]
-        vx = v_g * vals[..., None]
-        vsum = vx.sum(axis=1)
-        vsq = (vx * vx).sum(axis=(1, 2))
-        pred = 0.5 * ((vsum * vsum).sum(axis=1) - vsq)
+    def packed_step(w0, P, ids, vals, y, row_mask, sids, perm,
+                    lrs, min_t, max_t):
+        B, L = vals.shape
+        E = B * L
+        rows = P[ids.reshape(-1)]        # [E, 1+k] — the single gather
+        rT = rows.T                      # [1+k, E]: entries in lanes
+        vT = vals.reshape(1, E)
+        w_g = rT[0]                      # [E]
+        v_g = rT[1:]                     # [k, E]
+        vx = v_g * vT
+        vsB = vx.reshape(k, B, L).sum(axis=2)       # [k, B]
+        pred = 0.5 * (
+            (vsB * vsB).sum(axis=0)
+            - (vx * vx).reshape(k, B, L).sum(axis=(0, 2))
+        )
         if cfg.use_linear:
-            pred = pred + (w_g * vals).sum(axis=1)
+            pred = pred + (w_g * vT[0]).reshape(B, L).sum(axis=1)
         if cfg.use_bias:
             pred = pred + w0
         mult = sgd_multiplier(pred, y, task, min_t, max_t)
-        mult = jnp.where(row_mask, mult, 0.0)
-        emask = (vals != 0.0).astype(vals.dtype)
+        mult = jnp.where(row_mask, mult, 0.0)       # [B]
+        mE = jnp.repeat(mult, L)                    # [E]
+        emask = (vT != 0.0).astype(vals.dtype)      # [1, E]
 
         if cfg.use_bias:
             n_real = row_mask.sum().astype(vals.dtype)
             w0 = w0 - lrs[0] * (mult.sum() + n_real * cfg.reg0 * w0)
         if cfg.use_linear:
-            gw = mult[:, None] * vals + cfg.regw * w_g * emask
+            gw = mE * vT[0] + cfg.regw * w_g * emask[0]
         else:
-            gw = jnp.zeros_like(vals)
-        gv = mult[:, None, None] * (
-            vsum[:, None, :] * vals[..., None] - v_g * (vals * vals)[..., None]
-        ) + cfg.regv * v_g * emask[..., None]
+            gw = jnp.zeros((E,), vals.dtype)
+        vsum = jnp.repeat(vsB, L, axis=1)           # [k, E]
+        gv = mE * (vsum * vT - v_g * (vT * vT)) + cfg.regv * v_g * emask
         upd = jnp.concatenate(
-            [(-lrs[1] * gw)[..., None], -lrs[2] * gv], axis=-1
-        )  # [B, L, 1+k]
-        P = P.at[ids.reshape(-1)].add(
-            upd.reshape(-1, 1 + k)
-        )  # the single scatter
+            [(-lrs[1] * gw)[None], -lrs[2] * gv], axis=0
+        )  # [1+k, E]
+        # permute updates into the pre-sorted scatter order
+        P = P.at[sids].add(upd.T[perm], indices_are_sorted=True)
         return w0, P
 
-    def epoch(params, ids, vals, y, row_mask, lrs, min_t, max_t):
+    def epoch(params, ids, vals, y, row_mask, sids, perm, lrs, min_t, max_t):
         P = jnp.concatenate([params.w[:, None], params.v], axis=1)
 
         def body(carry, batch):
             w0, P = carry
-            b_ids, b_vals, b_y, b_mask = batch
+            b_ids, b_vals, b_y, b_mask, b_sids, b_perm = batch
             w0, P = packed_step(
-                w0, P, b_ids, b_vals, b_y, b_mask, lrs, min_t, max_t
+                w0, P, b_ids, b_vals, b_y, b_mask, b_sids, b_perm,
+                lrs, min_t, max_t,
             )
             return (w0, P), None
 
         (w0, P), _ = jax.lax.scan(
-            body, (params.w0, P), (ids, vals, y, row_mask)
+            body, (params.w0, P), (ids, vals, y, row_mask, sids, perm)
         )
         return FMParams(w0=w0, w=P[:, 0], v=P[:, 1:])
 
     return jax.jit(epoch)
+
+
+def sorted_scatter_order(ids: np.ndarray):
+    """Host-side, once per batch stack: per-batch stable argsort of the
+    flattened scatter ids. Returns (sorted_ids [NB, E], perm [NB, E])."""
+    nb = ids.shape[0]
+    E = ids.shape[1] * ids.shape[2]
+    flat = np.ascontiguousarray(ids).reshape(nb, E)
+    perm = np.argsort(flat, axis=1, kind="stable").astype(np.int32)
+    sids = np.take_along_axis(flat, perm, axis=1)
+    return sids, perm
 
 
 def make_eval_fn(cfg: FMConfig, task: int):
@@ -257,13 +285,17 @@ class SGDLearner:
         eb = batch_dataset(test, self.batch_size)
         t_arrs = _device_arrays(tb)
         e_arrs = _device_arrays(eb)
+        sids, perm = sorted_scatter_order(tb.ids)
+        t_scatter = (jnp.asarray(sids), jnp.asarray(perm))
         lrs = jnp.asarray(self.lrs, dtype=jnp.float32)
         min_t, max_t = self.min_target, self.max_target
 
         history = []
         for it in range(self.num_iter):
             c0 = iter_clocks()
-            self.params = self._epoch(self.params, *t_arrs, lrs, min_t, max_t)
+            self.params = self._epoch(
+                self.params, *t_arrs, *t_scatter, lrs, min_t, max_t
+            )
             jax.block_until_ready(self.params.v)
             c1 = iter_clocks()
             dt = c1[2] - c0[2]
