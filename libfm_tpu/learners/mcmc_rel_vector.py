@@ -567,10 +567,73 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             case_rows.reshape(-1, RC, Lb).astype(np.int32)
         )
 
+    # Slab-partitioned cache-build layout. Random row gathers from a
+    # table that fits on-chip run ~20x faster than from a big one
+    # (measured cliff: ~2.2 ns/row up to ~20 MB, ~45 ns/row past
+    # ~60 MB — BENCHNOTES "Gather cost vs table size"). The per-block
+    # case sums are order-free, so the (static) case ids can be grouped
+    # by ~18 MB slab of A and each group gathered from a dynamic slice
+    # of A that XLA keeps chip-resident; partial moments then just add.
+    # Measured on the BS probe shape: 55 -> 9.2 ms for the gather+sum.
+    # Single-device only (the mesh path shards case chunks over `data`).
+    _SLAB_BYTES = 18 << 20
+    # threshold overridable for tests (force the slab path on small
+    # problems by setting learner._slab_threshold_bytes = 0); tests
+    # also shrink the slab size to get >1 slab on tiny tables
+    _slab_thresh = getattr(learner, "_slab_threshold_bytes", 32 << 20)
+    _SLAB_BYTES = getattr(learner, "_slab_bytes", _SLAB_BYTES)
+    _use_slabs = mesh is None and A_rows * (1 + k) * 4 > _slab_thresh
+
+    def _slab_case_layout(case_rows):
+        if not _use_slabs:
+            return None
+        nb, Lb = case_rows.shape
+        rows_per = max(8, (_SLAB_BYTES // ((1 + k) * 4)) // 8 * 8)
+        slabs = []
+        for lo in range(0, A_rows, rows_per):
+            hi = min(lo + rows_per, A_rows)
+            m = (case_rows >= lo) & (case_rows < hi) & (case_rows != nc_pad)
+            Lb_s = int(m.sum(axis=1).max())
+            if Lb_s == 0:
+                continue  # dummy-row region or empty slab
+            order = np.argsort(~m, axis=1, kind="stable")[:, :Lb_s]
+            g = np.take_along_axis(case_rows, order, axis=1) - lo
+            w = np.take_along_axis(m, order, axis=1)
+            g = np.where(w, g, 0).astype(np.int32)
+            # chunk nb so the [CHb, Lb_s, 1+k] gather temp stays <=96MB
+            CHb = max(1, min(nb, (96 << 20) // max(1, Lb_s * (1 + k) * 4)))
+            pad = (-nb) % CHb
+            if pad:
+                g = np.concatenate([g, np.zeros((pad, Lb_s), np.int32)])
+                w = np.concatenate([w, np.zeros((pad, Lb_s), bool)])
+            # (lo, size) stay PYTHON ints in the closure-side meta list —
+            # ints inside the jit-passed statics dict would be traced
+            slabs.append(
+                (
+                    (lo, hi - lo),
+                    dict(
+                        g=jnp.asarray(g.reshape(-1, CHb, Lb_s)),
+                        w=jnp.asarray(
+                            w.reshape(-1, CHb, Lb_s).astype(np.float32),
+                            dtype=f,
+                        ),
+                    ),
+                )
+            )
+        return slabs
+
     # static per-relation metadata lives in Python closures (ints inside
     # the jit-passed statics dict would be traced)
     REL_NB = [r.nb for r in rels]
     REL_SHAPES = [[(st.F_pad, st.E_pad) for st in r.stacks] for r in rels]
+    _slabs_all = [_slab_case_layout(r.case_rows) for r in rels]
+    # static (lo, size) metadata in the closure; device arrays in statics
+    REL_SLAB_META = [
+        None if sl is None else [meta for meta, _ in sl] for sl in _slabs_all
+    ]
+    REL_SLABS = [
+        None if sl is None else [arrs for _, arrs in sl] for sl in _slabs_all
+    ]
     dev_rels = [
         dict(
             stacks=[
@@ -588,10 +651,11 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             rel_cols=jnp.asarray(r.rel_cols),
             rel_vals=jnp.asarray(r.rel_vals, dtype=f),
             case_rows=_chunk_case_rows(r.case_rows),
+            slab_rows=REL_SLABS[ri],
             map_tr=_chunk_map(r.row_map_train, r.nb, nc_pad),
             map_te=_chunk_map(r.row_map_test, r.nb, nc_te_pad),
         )
-        for r in rels
+        for ri, r in enumerate(rels)
     ]
 
     # ---- init ----
@@ -841,7 +905,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     # timings) — mirrors the flat engine's _skip_phases bisection
     _skip = getattr(learner, "_skip_phases", frozenset())
 
-    def build_rel_caches(A, dr, nb):
+    def build_rel_caches(A, dr, nb, slab_meta):
         """Frozen per-block-row caches (we0, SQ0, SQe0, SQQ0), each with a
         zero sentinel row nb."""
         if "caches" in _skip:
@@ -850,8 +914,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 jnp.zeros((nb + 1, k), f), jnp.zeros((nb + 1, k, k), f),
             )
 
-        def chunk(_, case_ids):  # [RC, Lb]
-            rows = A[case_ids]  # [RC, Lb, 1+k]
+        def moments(rows):  # [RC, Lb(.s), 1+k] masked gathered rows
             e_r = rows[..., 0]
             Q_r = rows[..., 1:]
             we = e_r.sum(axis=1)
@@ -861,14 +924,41 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 "rlf,rlg->rfg", Q_r, Q_r,
                 preferred_element_type=acc_t,
             ).astype(f)
-            return None, (we, SQ, SQe, SQQ)
+            return we, SQ, SQe, SQQ
 
-        _, (we, SQ, SQe, SQQ) = jax.lax.scan(chunk, None, dr["case_rows"])
-        nb_pad = we.shape[0] * we.shape[1]
-        we = we.reshape(nb_pad)[:nb]
-        SQ = SQ.reshape(nb_pad, k)[:nb]
-        SQe = SQe.reshape(nb_pad, k)[:nb]
-        SQQ = SQQ.reshape(nb_pad, k, k)[:nb]
+        if dr["slab_rows"] is not None:
+            # slab-partitioned gathers (see _slab_case_layout): each
+            # slab's case rows gather from an on-chip slice of A; the
+            # order-free per-block sums accumulate across slabs
+            we = jnp.zeros((nb,), f)
+            SQ = jnp.zeros((nb, k), f)
+            SQe = jnp.zeros((nb, k), f)
+            SQQ = jnp.zeros((nb, k, k), f)
+            for (lo, size), sl in zip(slab_meta, dr["slab_rows"]):
+                As = jax.lax.dynamic_slice_in_dim(A, lo, size)
+
+                def chunk_s(_, gw, As=As):
+                    g_c, w_c = gw
+                    return None, moments(As[g_c] * w_c[..., None])
+
+                _, (we_s, SQ_s, SQe_s, SQQ_s) = jax.lax.scan(
+                    chunk_s, None, (sl["g"], sl["w"])
+                )
+                nbp = we_s.shape[0] * we_s.shape[1]
+                we = we + we_s.reshape(nbp)[:nb]
+                SQ = SQ + SQ_s.reshape(nbp, k)[:nb]
+                SQe = SQe + SQe_s.reshape(nbp, k)[:nb]
+                SQQ = SQQ + SQQ_s.reshape(nbp, k, k)[:nb]
+        else:
+            def chunk(_, case_ids):  # [RC, Lb]
+                return None, moments(A[case_ids])
+
+            _, (we, SQ, SQe, SQQ) = jax.lax.scan(chunk, None, dr["case_rows"])
+            nb_pad = we.shape[0] * we.shape[1]
+            we = we.reshape(nb_pad)[:nb]
+            SQ = SQ.reshape(nb_pad, k)[:nb]
+            SQe = SQe.reshape(nb_pad, k)[:nb]
+            SQQ = SQQ.reshape(nb_pad, k, k)[:nb]
         pad1 = ((0, 1),)
         return (
             jnp.pad(we, pad1),
@@ -877,12 +967,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             jnp.pad(SQQ, ((0, 1), (0, 0), (0, 0))),
         )
 
-    def sweep_relation(A, w, V, dr, nb, shapes, alpha, w_mu_g, w_lambda_g,
+    def sweep_relation(A, w, V, dr, nb, shapes, slab_meta, alpha, w_mu_g,
+                       w_lambda_g,
                        v_mu_g, v_lambda_g, key):
         if "rel" in _skip:
             return A, w, V, jnp.zeros((), jnp.int32), key
         wnum = dr["wnum"]  # [nb+1]
-        we0, SQ0, SQe0, SQQ0 = build_rel_caches(A, dr, nb)
+        we0, SQ0, SQe0, SQQ0 = build_rel_caches(A, dr, nb, slab_meta)
         # s/dQB carry a dummy-row tail so the update scatters can use
         # UNIQUE ids for padded entries (entry_bs); dummy rows only ever
         # accumulate exact zeros (pad x == 0) and are never read back
@@ -1214,9 +1305,11 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 A, w, V, blk, F_m, alpha, w_mu, w_lambda, v_mu, v_lambda, key
             )
             rej += r
-        for nb_r, shp, dr in zip(REL_NB, REL_SHAPES, S["dev_rels"]):
+        for nb_r, shp, slm, dr in zip(
+            REL_NB, REL_SHAPES, REL_SLAB_META, S["dev_rels"]
+        ):
             A, w, V, r, key = sweep_relation(
-                A, w, V, dr, nb_r, shp, alpha, w_mu, w_lambda, v_mu,
+                A, w, V, dr, nb_r, shp, slm, alpha, w_mu, w_lambda, v_mu,
                 v_lambda, key,
             )
             rej += r

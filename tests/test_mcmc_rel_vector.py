@@ -406,3 +406,27 @@ def test_bs_vector_rejects_out_of_range_join_map():
                                            verbose=False))
     with pytest.raises(ValueError, match="block row 10000 but"):
         m.learn(train, test)
+
+
+def test_bs_vector_slab_cache_build_matches_direct():
+    """The slab-partitioned cache build (gathers grouped by on-chip
+    slices of A — BENCHNOTES "Gather cost vs table size") is an exact
+    restructure: forcing it on a small problem must reproduce the
+    direct path's trajectory to f32 summation-order tolerance."""
+    train, test, n_feat = _general_bs_problem(seed=11, n_cases=500)
+    cfg = FMConfig(num_features=n_feat, num_factors=4)
+    kw = dict(num_iter=8, seed=5, verbose=False)
+
+    a = _force_bs_vector(MCMCVectorLearner(cfg, **kw))
+    ha = a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+
+    b = _force_bs_vector(MCMCVectorLearner(cfg, **kw))
+    b._slab_threshold_bytes = 0      # force slabs on a tiny A table
+    b._slab_bytes = 2048             # several slabs even at 500 cases
+    hb = b.learn(train, test)
+    assert b.relational_mode == "bs_vector"
+
+    got = [h["test_this"] for h in hb]
+    want = [h["test_this"] for h in ha]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
