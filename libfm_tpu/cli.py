@@ -96,11 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="vector MCMC/ALS regression: re-predict the train cache "
-        "every R-th iteration (1 = reference behavior; larger R skips "
-        "the numerically-redundant refresh for ~10-20%% per-iteration "
-        "savings). Default: 1 for mcmc, 8 for als (the deterministic "
-        "ALS sweep maintains the cache exactly; refresh is drift "
-        "control only).",
+        "every R-th iteration (1 = reference cadence; larger R skips "
+        "the numerically-redundant refresh). Default: 8 for every "
+        "regression run — sampled draws are part of the exact "
+        "incremental cache updates, so the refresh is float-drift "
+        "control either way (fm_learn_mcmc_simultaneous.h:123-124); "
+        "classification always refreshes (probit latent resample).",
     )
     a(
         "-engine",

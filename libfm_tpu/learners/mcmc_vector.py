@@ -175,16 +175,22 @@ class MCMCVectorLearner(MCMCLearner):
         self.dense_update = dense_update
         # refresh_every=R (regression only): re-predict the train set
         # every R-th iteration instead of every iteration — the sweeps
-        # maintain the [e|Q] caches exactly; the refresh only clears
-        # float drift (the reference's own comment,
+        # maintain the [e|Q] caches exactly (the sampled draws are part
+        # of the incremental updates), so the refresh only clears float
+        # drift (the reference's own comment,
         # fm_learn_mcmc_simultaneous.h:123-124). Classification always
         # refreshes (the probit latent resample lives in that pass).
-        # Default (None): 1 for MCMC (reference-exact cadence); for ALS
-        # (do_sample=False) the sweep is deterministic and the refresh
-        # is pure drift control, so the default is ALS_DEFAULT_REFRESH
-        # (drift bound tested in tests/test_mcmc_vector.py).
+        # Default (None): ALS_DEFAULT_REFRESH for every REGRESSION run —
+        # sampled or not, the chain with R>1 is the same chain up to f32
+        # drift (drift bounds tested in tests/test_mcmc_vector.py for
+        # both ALS and sampling); classification keeps 1 (the gate
+        # forces a refresh every iteration there anyway).
+        from libfm_tpu.tasks import TASK_REGRESSION as _TR
+
         if refresh_every is None:
-            refresh_every = 1 if self.do_sample else self.ALS_DEFAULT_REFRESH
+            refresh_every = (
+                self.ALS_DEFAULT_REFRESH if self.task == _TR else 1
+            )
         self.refresh_every = refresh_every
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
@@ -1664,9 +1670,14 @@ class MCMCVectorLearner(MCMCLearner):
         # (minutes of compile time + a duplicate HBM copy)
         R = max(1, int(self.refresh_every))
         for it in range(start_iter, self.num_iter):
+            # the first iteration after a (re)start always refreshes:
+            # numerically it re-grounds a restored A, and it front-loads
+            # the refresh-variant jit compile into the warm-up iteration
+            # (benchmarks drop it) instead of a mid-run cadence hit
             refresh = (
                 task != TASK_REGRESSION
                 or R == 1
+                or it == start_iter
                 or it % R == R - 1
                 or it == self.num_iter - 1
             )

@@ -288,5 +288,16 @@ def test_als_default_refresh_drift_bound(ml_small):
     got = [h["test_this"] for h in b.history]
     want = [h["test_this"] for h in a.history]
     assert np.allclose(got, want, atol=1e-3), (got, want)
-    # MCMC default stays reference-exact
-    assert MCMCVectorLearner(cfg, num_iter=1, verbose=False).refresh_every == 1
+    # regression sampling also defaults to the fast cadence (the sampled
+    # draws are inside the exact incremental updates; refresh is drift
+    # control either way — cadence parity tested above); classification
+    # keeps 1 (its refresh carries the probit latent resample)
+    assert (
+        MCMCVectorLearner(cfg, num_iter=1, verbose=False).refresh_every
+        == MCMCVectorLearner.ALS_DEFAULT_REFRESH
+    )
+    assert (
+        MCMCVectorLearner(
+            cfg, num_iter=1, verbose=False, task=TASK_CLASSIFICATION
+        ).refresh_every == 1
+    )
