@@ -1347,8 +1347,8 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def iteration(state, it, S):
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def iteration(state, it, S, refresh=True):
         state = draw_all(state, S)
         # one set of per-relation block scores serves both the test
         # prediction and the train refresh (same w, V)
@@ -1359,11 +1359,25 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         key, kr = jax.random.split(key)
         if "refresh" in _skip:
             A, train_metric = state["A"], jnp.zeros((), f)
-        else:
+        elif refresh:
             A, train_metric = refresh_A_and_train_metric(
                 state["w0"], state["w"], state["V"], kr, S, state["A"],
                 scores=scores,
             )
+        else:
+            # regression fast path (refresh_every > 1): the sweeps'
+            # resync pass maintains A = [e | Q] incrementally and
+            # exactly (up to float drift, killed by the periodic
+            # refresh — fm_learn_mcmc_simultaneous.h:123-124); the
+            # train metric comes straight from e = pred - y.
+            A = state["A"]
+            y_flat = S["y_tr_ch"].reshape(-1)
+            m_flat = S["mask_tr_ch"].reshape(-1)
+            e = jax.lax.dynamic_slice_in_dim(A[:, 0], 0, y_flat.shape[0])
+            pred_tr = e + y_flat
+            err = (jnp.clip(pred_tr, min_t, max_t) - y_flat) * m_flat
+            cnt = jnp.maximum(m_flat.sum(), 1.0)
+            train_metric = jnp.sqrt((err * err).sum() / cnt)
         if task == TASK_REGRESSION:
             pred_this = pred_test
             p_clamped = jnp.clip(pred_test, min_t, max_t)
@@ -1447,9 +1461,23 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         state["A"] = jax.device_put(state["A"], sh_A)
         state["w"] = jax.device_put(state["w"], sh_model1)
         state["V"] = jax.device_put(state["V"], sh_model2)
+    R = max(1, int(getattr(learner, "refresh_every", 1)))
     for it in range(start_iter, learner.num_iter):
+        # same cadence as the flat engine (mcmc_vector.py): regression
+        # skips the drift-control refresh between cadence points; the
+        # first iteration after a (re)start always refreshes so both
+        # jit variants compile in the warm-up window
+        refresh = (
+            task != TASK_REGRESSION
+            or R == 1
+            or it == start_iter
+            or it % R == R - 1
+            or it == learner.num_iter - 1
+        )
         c0 = iter_clocks()
-        state, metrics = iteration(state, jnp.asarray(it, dtype=jnp.float32), statics)
+        state, metrics = iteration(
+            state, jnp.asarray(it, dtype=jnp.float32), statics, refresh
+        )
         jax.block_until_ready(state["A"])
         c1 = iter_clocks()
         learner._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))

@@ -430,3 +430,30 @@ def test_bs_vector_slab_cache_build_matches_direct():
     got = [h["test_this"] for h in hb]
     want = [h["test_this"] for h in ha]
     assert np.allclose(got, want, atol=2e-3), (got, want)
+
+
+def test_bs_vector_refresh_cadence_matches_every_iteration():
+    """The BS engine's resync pass maintains A = [e|Q] exactly, so the
+    per-iteration refresh is float-drift control for regression (same
+    argument as the flat engine); refresh_every>1 must reproduce the
+    R=1 trajectory to drift tolerance."""
+    train, test, n_feat = _general_bs_problem(seed=7, n_cases=500)
+    cfg = FMConfig(num_features=n_feat, num_factors=4)
+
+    a = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=9, seed=2, verbose=False,
+                          refresh_every=1)
+    )
+    a.learn(train, test)
+    assert a.relational_mode == "bs_vector"
+    b = _force_bs_vector(
+        MCMCVectorLearner(cfg, num_iter=9, seed=2, verbose=False,
+                          refresh_every=3)
+    )
+    b.learn(train, test)
+    got = [h["test_all"] for h in b.history]
+    want = [h["test_all"] for h in a.history]
+    assert np.allclose(got, want, atol=2e-3), (got, want)
+    got_tr = [h["train"] for h in b.history]
+    want_tr = [h["train"] for h in a.history]
+    assert np.allclose(got_tr, want_tr, atol=5e-3), (got_tr, want_tr)
