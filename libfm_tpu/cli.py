@@ -615,6 +615,11 @@ def main(argv=None) -> int:
         print(f"ERROR: unknown method {args.method}")
         return 1
 
+    if args.verbosity > 0:
+        # end-of-learn memory accounting (MemoryLog analog, memory.h:31-62)
+        from libfm_tpu.utils.profiling import print_peak_memory_report
+
+        print_peak_memory_report()
     if args.out and preds is not None:
         np.savetxt(args.out, preds, fmt="%.6g")
     if args.save_model and params_out is not None:

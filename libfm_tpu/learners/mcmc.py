@@ -1187,10 +1187,16 @@ class MCMCLearner:
         from libfm_tpu.data.batching import batch_dataset
 
         if ds.relations:
-            # one forward pass over the materialised join; fine for
-            # prediction even when TRAINING on the expansion would not be
-            from libfm_tpu.data.relation import expand_join
+            # one forward pass over the materialised join — but gated the
+            # same way the trainer gates expansion (mcmc_vector.py learn):
+            # a fat-block dataset whose join expands far beyond its BS form
+            # must not be materialised whole on the host. Above the cap the
+            # expansion happens in bounded case-range chunks.
+            from libfm_tpu.data.relation import expand_join, expansion_cost
 
+            exp_nnz, _ = expansion_cost(ds)
+            if exp_nnz > self.predict_expand_cap:
+                return self._predict_new_chunked(ds, exp_nnz, batch_size)
             ds = expand_join(ds)
         if ds.num_features > self.cfg.num_features:
             # JAX gathers CLAMP out-of-bounds ids (they would silently
@@ -1219,6 +1225,38 @@ class MCMCLearner:
             return np.clip(scores, self.min_target, self.max_target)
         p = np.asarray(samplers.cdf_gaussian(jnp.asarray(scores)))
         return np.clip(p, 0.0, 1.0)
+
+    # materialised-join size cap for predict_new (entries); above it the
+    # expansion runs in case-range chunks. ~8 bytes/entry => ~400 MB peak.
+    predict_expand_cap = 50_000_000
+
+    def _predict_new_chunked(
+        self, ds: Dataset, exp_nnz: int, batch_size: int
+    ) -> np.ndarray:
+        """predict_new for relational data whose full expansion exceeds
+        predict_expand_cap: expand and score bounded case-range slices.
+        Identical math to the unchunked path (the forward is per-case)."""
+        from libfm_tpu.data.dataset import Dataset as _DS
+        from libfm_tpu.data.relation import RelationJoin, expand_join
+
+        nc = ds.num_rows
+        per_case = max(1, exp_nnz // max(nc, 1))
+        step = max(1, min(nc, (self.predict_expand_cap // 2) // per_case))
+        out = []
+        for a in range(0, nc, step):
+            b = min(nc, a + step)
+            sub = _DS(
+                ds.indptr[a : b + 1] - ds.indptr[a],
+                ds.cols[ds.indptr[a] : ds.indptr[b]],
+                ds.vals[ds.indptr[a] : ds.indptr[b]],
+                ds.target[a:b],
+                ds.num_features,
+            )
+            sub.relations = [
+                RelationJoin(r.data, r.row_map[a:b]) for r in ds.relations
+            ]
+            out.append(self.predict_new(expand_join(sub), batch_size))
+        return np.concatenate(out)
 
     def _learn_relational(self, train, test):
         from libfm_tpu.learners.mcmc_relational import learn_relational

@@ -49,3 +49,35 @@ def device_memory_stats() -> list[dict]:
                 )
             )
     return out
+
+
+def peak_memory_report() -> dict:
+    """End-of-run memory accounting — the TPU analog of the reference's
+    MemoryLog singleton (/root/reference/src/util/memory.h:31-62, called
+    from every large allocation e.g. fm_learn_mcmc.h:1169-1177).
+
+    Always carries the host's peak RSS (the byte counter the reference
+    tracks lives on the host too); adds per-device PJRT stats where the
+    backend exposes them (TPU does; the CPU test backend does not).
+    """
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux, bytes on macOS
+    host_peak = int(ru) * (1 if ru > 1 << 34 else 1024)
+    return dict(host_peak_rss_bytes=host_peak, devices=device_memory_stats())
+
+
+def print_peak_memory_report() -> dict:
+    """Print the report in the reference MemoryLog's spirit (one line per
+    counter; memory.h:53-61 has the prints commented out, but the counter
+    is maintained — here it is maintained AND reported)."""
+    rep = peak_memory_report()
+    print(f"#mem host_peak_rss_bytes={rep['host_peak_rss_bytes']}")
+    for d in rep["devices"]:
+        print(
+            f"#mem device={d['device']} "
+            f"peak_bytes_in_use={d['peak_bytes_in_use']} "
+            f"bytes_in_use={d['bytes_in_use']}"
+        )
+    return rep

@@ -18,7 +18,7 @@ def files(tmp_path_factory):
     return d, trp, tep
 
 
-def test_cli_sgd_full_surface(files):
+def test_cli_sgd_full_surface(files, capsys):
     d, trp, tep = files
     out = str(d / "preds.txt")
     rlog = str(d / "log.tsv")
@@ -30,6 +30,14 @@ def test_cli_sgd_full_surface(files):
         "-out", out, "-rlog", rlog, "-save_model", model, "-verbosity", "1",
     ])
     assert rc == 0
+    # -verbosity wires the MemoryLog analog (memory.h:31-62): the report
+    # must be printed and populated
+    mem_lines = [
+        l for l in capsys.readouterr().out.splitlines()
+        if l.startswith("#mem host_peak_rss_bytes=")
+    ]
+    assert len(mem_lines) == 1
+    assert int(mem_lines[0].split("=")[1]) > 0
     preds = np.loadtxt(out)
     assert preds.shape == (150,)
     assert (preds >= 1.0).all() and (preds <= 5.0).all()  # clamped

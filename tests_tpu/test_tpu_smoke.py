@@ -171,3 +171,20 @@ def test_bs_fatblock_chain_converges_on_tpu():
     # converged at the noise floor (sigma = 0.3) and NOT drifting up
     assert tr[-1] < 0.35, tr
     assert max(tr[4:]) < 0.4, tr
+
+
+def test_device_memory_stats_populated_on_accelerator():
+    """The MemoryLog analog (utils/profiling.py) must report real device
+    stats on an accelerator backend — the CPU suite can only check the
+    host-RSS half (CPU PJRT has no memory_stats)."""
+    import jax.numpy as jnp
+
+    from libfm_tpu.utils.profiling import peak_memory_report
+
+    # touch the device so bytes_in_use is nonzero
+    x = jnp.ones((256, 256), jnp.float32)
+    float(x.sum())
+    rep = peak_memory_report()
+    assert rep["host_peak_rss_bytes"] > 0
+    assert rep["devices"], "accelerator backend must expose memory_stats"
+    assert rep["devices"][0]["peak_bytes_in_use"] > 0
