@@ -9,6 +9,7 @@ from libfm_tpu.data.synth import movielens_like
 from libfm_tpu.learners.mcmc import ALSLearner, MCMCLearner
 from libfm_tpu.models.fm import FMConfig, FMParams
 from libfm_tpu.utils import checkpoint as ckpt
+import pytest
 
 
 def test_save_restore_pytree(tmp_path):
@@ -25,6 +26,7 @@ def test_save_restore_pytree(tmp_path):
     assert np.array_equal(np.asarray(restored.w), [0, 1, 2, 3])
 
 
+@pytest.mark.slow
 def test_mcmc_resume_exact(tmp_path):
     """Run 10 iters straight vs 5 + resume 5: identical trajectories
     (the checkpoint carries the rng key and all caches)."""

@@ -55,6 +55,7 @@ def test_cli_sgd_full_surface(files, capsys):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_mcmc_vector_and_exact(files):
     d, trp, tep = files
     for engine in ("vector", "exact"):
@@ -240,6 +241,7 @@ def test_cli_als_save_model(files, tmp_path):
     assert not os.path.exists(str(tmp_path / "no.txt"))
 
 
+@pytest.mark.slow
 def test_cli_cache_size_streams_mcmc(tmp_path):
     """-cache_size below the binary size with the .xt transpose present
     must route MCMC/ALS through the streaming layout build (the
@@ -277,6 +279,7 @@ def test_cli_cache_size_streams_mcmc(tmp_path):
     assert "needs the transpose" in out
 
 
+@pytest.mark.slow
 def test_cli_als_load_model_warm_start(files, tmp_path):
     """-load_model for ALS: the reference loads the model
     (libfm.cpp:262-268 runs for `als` — the guard only blocks literal
@@ -387,6 +390,7 @@ def test_cli_verbosity_model_learner_dump(files, capsys):
     assert "do_sampling" not in out
 
 
+@pytest.mark.slow
 def test_cli_relation_with_cache_size(tmp_path):
     """-relation together with -cache_size must train (the reference
     wires cache_size into the relation loads, relation.h:62-78): the
@@ -450,6 +454,7 @@ def test_cli_relation_with_cache_size(tmp_path):
     assert np.allclose(resident, streamed, atol=1e-6), (resident, streamed)
 
 
+@pytest.mark.slow
 def test_cli_cache_size_streams_test_set(tmp_path):
     """With -cache_size below both binaries' sizes, the TEST set streams
     too (reference parity: test data goes through the same HD cache,

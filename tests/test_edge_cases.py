@@ -27,6 +27,7 @@ def _tiny(n_rows=20, n_feat=10, seed=0, empty_every=0):
     return Dataset.from_arrays(indptr, cols, vals, y, num_features=n_feat)
 
 
+@pytest.mark.slow
 def test_empty_rows_are_handled():
     """Rows with no features predict w0 and train without NaNs."""
     ds = _tiny(empty_every=4)
@@ -37,6 +38,7 @@ def test_empty_rows_are_handled():
         assert np.isfinite(l.history[-1]["test_all"]), cls.__name__
 
 
+@pytest.mark.slow
 def test_no_bias_no_linear_dims():
     """-dim 0,0,k: pure pairwise model (fm_model.h k0/k1 switches)."""
     train, test = movielens_like(num_users=30, num_items=20, num_ratings=800, seed=1)
@@ -63,6 +65,7 @@ def test_no_bias_no_linear_dims():
     assert float(sgd.params.w0) == 0.0
 
 
+@pytest.mark.slow
 def test_unobserved_features_get_prior_draws():
     """Features present only in test data draw from the prior
     (fm_learn_mcmc.h:467-476)."""
@@ -100,6 +103,7 @@ def test_constant_target():
     assert np.allclose(preds, 3.0)
 
 
+@pytest.mark.slow
 def test_block_overflow_stacked_scan_trains():
     """Datasets needing more conflict-free blocks than max_blocks run the
     tail as an exact sequential lax.scan over a padded block stack

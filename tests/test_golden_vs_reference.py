@@ -98,6 +98,7 @@ def test_golden_sgd(ref_bin, data_files):
     assert abs(hist[-1][1] - ref[-1]) < 0.07, (hist[-1][1], ref[-1])
 
 
+@pytest.mark.slow
 def test_golden_mcmc_classification(ref_bin, tmp_path):
     """Probit MCMC classification vs the reference binary: final
     accuracy within chain variance (round-2 quality study, BENCHNOTES
@@ -192,6 +193,7 @@ def test_sgda_rejects_relations():
         SGDALearner(cfg, verbose=False).learn(ds, ds, validation=ds)
 
 
+@pytest.mark.slow
 def test_golden_relational_mcmc(ref_bin, tmp_path):
     """Block-structure (BS) parity: reference binary vs our relational
     engine on identical relation files (incl. .xt files produced by OUR
@@ -260,6 +262,7 @@ def test_golden_relational_mcmc(ref_bin, tmp_path):
     assert abs(ours - ref_rmse) < 0.05, (ours, ref_rmse)
 
 
+@pytest.mark.slow
 def test_golden_relational_fat_block_bs_vector(ref_bin, tmp_path):
     """FAT-block BS parity: the reference binary vs our BS VECTOR engine
     (joint draws from per-block-row caches) on identical relation files.

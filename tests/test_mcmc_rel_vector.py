@@ -27,6 +27,7 @@ def _force_bs_vector(learner):
     return learner
 
 
+@pytest.mark.slow
 def test_bs_vector_als_matches_flat_on_join():
     """ALS: BS-vector trajectory == flat vector engine on the
     materialised join (deterministic draws, identical conflict-free
@@ -105,6 +106,7 @@ def _general_bs_problem(seed=3, nb1=12, w1=5, m1_card=6, nb2=7, w2=3,
     return build(slice(split, None)), build(slice(None, split)), n_feat
 
 
+@pytest.mark.slow
 def test_bs_vector_general_blocks_match_expansion():
     """Real-valued fat-ish blocks + main-table features + two relations:
     BS-vector ALS == flat ALS on the expansion (via the engine's own
@@ -133,6 +135,7 @@ def test_bs_vector_general_blocks_match_expansion():
     assert np.isfinite(preds).all()
 
 
+@pytest.mark.slow
 def test_bs_vector_mcmc_converges_like_exact():
     """Full MCMC (sampled draws, multilevel hyperpriors): the BS vector
     chain and the exact per-factor BS chain land in the same band."""
@@ -155,6 +158,7 @@ def test_bs_vector_mcmc_converges_like_exact():
     )
 
 
+@pytest.mark.slow
 def test_bs_vector_classification_matches_expansion_band():
     from libfm_tpu.data.relation import expand_join
 
@@ -181,6 +185,7 @@ def test_bs_vector_classification_matches_expansion_band():
     assert np.isfinite(ha[-1]["auc_all"])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("trial", [0, 3, 5, 13, 17])
 def test_bs_vector_randomized_matches_expansion(trial):
     """Randomized differential check (5 of the 40-config fuzz sweep that
@@ -266,6 +271,7 @@ def test_bs_vector_randomized_matches_expansion(trial):
         assert abs(ra["test_this"] - rb["test_this"]) < 5e-4, (ra, rb)
 
 
+@pytest.mark.slow
 def test_bs_vector_sharded_matches_single():
     """BS vector engine on a (data=2, model=4) mesh: A and the per-case
     chunks shard over `data`, w/V row-shard over `model`; the trajectory
@@ -302,6 +308,7 @@ def test_bs_vector_sharded_matches_single():
     }
 
 
+@pytest.mark.slow
 def test_bs_vector_tp_only_mesh_matches_single():
     """Pure-TP mesh (data=1, model=8) on the BS vector engine — the
     data-axis shardings collapse to replicated while w/V still
@@ -329,6 +336,7 @@ def test_bs_vector_tp_only_mesh_matches_single():
     }
 
 
+@pytest.mark.slow
 def test_bs_vector_skew_fallback():
     """A join where one block row absorbs nearly all cases (and the
     relation has many rows) must fall back to the exact BS engine — the
@@ -372,6 +380,7 @@ def test_bs_vector_disable_flag_uses_exact_engine():
     assert m.relational_mode == "bs"
 
 
+@pytest.mark.slow
 def test_bs_vector_checkpoint_resume(tmp_path):
     """Exact resume on the BS vector path (parity with the flat vector
     engine's checkpoint story)."""
@@ -408,6 +417,7 @@ def test_bs_vector_rejects_out_of_range_join_map():
         m.learn(train, test)
 
 
+@pytest.mark.slow
 def test_bs_vector_slab_cache_build_matches_direct():
     """The slab-partitioned cache build (gathers grouped by on-chip
     slices of A — BENCHNOTES "Gather cost vs table size") is an exact
@@ -432,6 +442,7 @@ def test_bs_vector_slab_cache_build_matches_direct():
     assert np.allclose(got, want, atol=2e-3), (got, want)
 
 
+@pytest.mark.slow
 def test_bs_vector_refresh_cadence_matches_every_iteration():
     """The BS engine's resync pass maintains A = [e|Q] exactly, so the
     per-iteration refresh is float-drift control for regression (same

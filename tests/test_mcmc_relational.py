@@ -185,6 +185,7 @@ def test_expand_join_matches_manual_join():
     ) + len(train.relations) * train.num_rows
 
 
+@pytest.mark.slow
 def test_vector_relational_expansion_identical_to_flat():
     """Same seed, BS input vs pre-joined input: the expansion path must
     produce the exact same chain (it IS the flat path after expansion)."""
@@ -202,6 +203,7 @@ def test_vector_relational_expansion_identical_to_flat():
         assert ra["test_all"] == rb["test_all"], (ra, rb)
 
 
+@pytest.mark.slow
 def test_vector_relational_fat_block_fallback():
     """Blocks where the materialised join dwarfs the BS form must stay in
     BS form (the case the VLDB'13 algebra exists for): the BS vector
@@ -267,6 +269,7 @@ def test_predict_new_fat_block_chunked_matches_full():
     assert np.array_equal(p_full, p_chunk)
 
 
+@pytest.mark.slow
 def test_relational_exact_checkpoint_resume(tmp_path):
     """Exact resume on the exact BS engine (full sampler state incl. the
     per-relation y_B caches)."""

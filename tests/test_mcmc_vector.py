@@ -77,6 +77,7 @@ def test_als_vector_matches_exact(ml_small):
     assert abs(a.history[-1]["test_this"] - b.history[-1]["test_this"]) < 5e-3
 
 
+@pytest.mark.slow
 def test_mcmc_vector_converges_like_exact(ml_small):
     train, test = ml_small
     cfg = FMConfig(num_features=train.num_features, num_factors=8)
@@ -90,6 +91,7 @@ def test_mcmc_vector_converges_like_exact(ml_small):
     assert abs(a.history[-1]["alpha"] - b.history[-1]["alpha"]) < 2.0
 
 
+@pytest.mark.slow
 def test_mcmc_vector_classification():
     train, test, groups = ctr_like(
         num_fields=5, field_cardinality=50, num_examples=6000, seed=4
@@ -105,6 +107,7 @@ def test_mcmc_vector_classification():
     assert ((preds >= 0) & (preds <= 1)).all()
 
 
+@pytest.mark.slow
 def test_mcmc_vector_grouped_and_eval_prefix(ml_small):
     train, test = ml_small
     groups = np.zeros(train.num_features, dtype=np.int32)
@@ -118,6 +121,7 @@ def test_mcmc_vector_grouped_and_eval_prefix(ml_small):
     assert np.isfinite(l.history[-1]["test_all"])
 
 
+@pytest.mark.slow
 def test_vector_checkpoint_resume(tmp_path, ml_small):
     train, test = ml_small
     cfg = FMConfig(num_features=train.num_features, num_factors=4)
@@ -139,6 +143,7 @@ def test_vector_checkpoint_resume(tmp_path, ml_small):
     assert np.allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dual_draw_matches_dense_als(ml_small):
     """ALS means from the dual (Woodbury) path must equal the dense
     d x d solve exactly (same linear system, different factorisation)."""
@@ -153,6 +158,7 @@ def test_dual_draw_matches_dense_als(ml_small):
     assert np.allclose(got, want, atol=2e-3), (got, want)
 
 
+@pytest.mark.slow
 def test_dual_draw_mcmc_converges(ml_small):
     train, test = ml_small
     cfg = FMConfig(num_features=train.num_features, num_factors=8)
@@ -203,6 +209,7 @@ def test_dual_sampler_distribution():
     assert np.allclose(np.cov(samples.T), cov_dense, atol=0.12)
 
 
+@pytest.mark.slow
 def test_dense_update_matches_slot_update(ml_small):
     """The case-major dense update pass is the same math as the slot
     scatter path (different summation order only): identical ALS fixed
@@ -226,6 +233,7 @@ def test_dense_update_matches_slot_update(ml_small):
     assert np.allclose(got, want, atol=2e-3), (got, want)
 
 
+@pytest.mark.slow
 def test_refresh_cadence_matches_every_iteration(ml_small):
     """refresh_every>1 skips the numerical re-predict (the caches are
     maintained exactly by the sweeps); trajectories must match the
@@ -245,6 +253,7 @@ def test_refresh_cadence_matches_every_iteration(ml_small):
     assert np.allclose(got_tr, want_tr, atol=5e-3), (got_tr, want_tr)
 
 
+@pytest.mark.slow
 def test_case_major_stats_matches_slot_path():
     """The case-major moment-matmul stats and the slot-gather stats
     compute the same statistic (different summation order) — same RNG
@@ -269,6 +278,7 @@ def test_case_major_stats_matches_slot_path():
     assert res[True]["rejected"] == res[False]["rejected"] == 0
 
 
+@pytest.mark.slow
 def test_als_default_refresh_drift_bound(ml_small):
     """ALS defaults to refresh_every=ALS_DEFAULT_REFRESH (the sweep is
     deterministic; the per-iteration re-predict is pure float-drift

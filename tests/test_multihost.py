@@ -23,6 +23,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_sgd_matches_single():
     port = _free_port()
     env = dict(os.environ)

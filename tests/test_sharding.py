@@ -67,6 +67,7 @@ def test_sharded_params_actually_sharded(data):
     assert shard_shapes == {(n_pad // 4, 4)}  # row-sharded over model axis
 
 
+@pytest.mark.slow
 def test_vector_mcmc_sharded_matches_single(data):
     from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
 
@@ -82,6 +83,7 @@ def test_vector_mcmc_sharded_matches_single(data):
     assert np.allclose(got, want, atol=2e-3), (got, want)
 
 
+@pytest.mark.slow
 def test_vector_mcmc_tp_matches_single(data):
     """Model-parallel (TP) vector MCMC on a (data=2, model=4) mesh: w/V
     row-sharded over `model`, A over `data` — results must match the
@@ -138,6 +140,7 @@ def test_sharded_sgd_predict_and_evaluate(data):
     assert abs(rmse - l.evaluate(test)) < 0.05
 
 
+@pytest.mark.slow
 def test_vector_mcmc_tp_classification(data):
     """TP mesh + probit classification: finite metrics and parity with
     the single-device engine."""

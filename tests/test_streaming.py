@@ -2,6 +2,7 @@
 format, and streaming SGD parity with in-memory SGD."""
 
 import numpy as np
+import pytest
 
 from libfm_tpu.data import streaming
 from libfm_tpu.data.dataset import Dataset
@@ -139,6 +140,7 @@ def test_stream_feature_blocks_match_inmemory(tmp_path):
         assert np.array_equal(s.entry_feat, m.entry_feat)
 
 
+@pytest.mark.slow
 def test_streaming_mcmc_matches_inmemory(tmp_path):
     from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
 
@@ -226,6 +228,7 @@ def test_streaming_greedy_partition_matches_inmemory(tmp_path):
         assert np.array_equal(s.entry_feat, m.entry_feat)
 
 
+@pytest.mark.slow
 def test_streaming_mcmc_unstructured_matches_inmemory(tmp_path):
     """Out-of-core MCMC on arbitrary (unstructured, meta-less) data:
     identical trajectory to the resident run (VERDICT round-2 item #4)."""
@@ -252,6 +255,7 @@ def test_streaming_mcmc_unstructured_matches_inmemory(tmp_path):
     assert abs(a["alpha"] - b["alpha"]) < 1e-5
 
 
+@pytest.mark.slow
 def test_streaming_test_set_matches_resident(tmp_path):
     """A StreamingDataset TEST set must give the identical metrics as the
     resident test set (the reference streams test data through the same
