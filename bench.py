@@ -14,6 +14,8 @@ baseline" and BENCHNOTES.md):
   #2 als        ALS k=32, ML-1M scale                 1.885 s/iter
   #3 ml         MCMC k=64, ML-10M scale (headline)    95.7K examples/s
   #4 ctr        MCMC classification k=16, CTR 1.8M    187K examples/s
+  #4b sgdc      SGD sigmoid classification k=16,
+                CTR 1.8M (config #4 as written)       1.295M examples/s
   #5 largevocab MCMC classification k=128, 1.04M
                 features, 2.7M rows                   (reference at this
                 scale measured separately; see LV_BASELINE note)
@@ -40,6 +42,14 @@ BASELINE_SGD_EXAMPLES_PER_S = 8_700_000.0
 BASELINE_ALS_S_PER_ITER = 1.885
 # reference MCMC -relation on the 250x-fat BS probe (BENCHNOTES)
 BASELINE_BS_S_PER_ITER = 0.39
+# reference SGD task=c -dim 1,1,16 -learn_rate 0.01 -regular 0,0,0.01 on
+# the SAME CTR synthetic as config #4 (13 fields x 5000, 1.8M train
+# rows), 1 CPU core, measured round 4: rlog time_learn over 8 iters =
+# [1.427, 1.429, 1.409, 1.382, 1.391, 1.389, 1.383, 1.383] -> median
+# 1.390 s/epoch = 1.295M examples/s (BASELINE config #4 as written:
+# "SGD binary-classification FM (sigmoid loss), k=16, Criteo CTR
+# subset"; fm_learn_sgd_element.h:64 logistic multiplier)
+BASELINE_SGDC_EXAMPLES_PER_S = 1_295_000.0
 # reference MCMC task=c -dim 1,1,128 on the config #5 synthetic
 # (26 fields x 40000, 2.7M train rows). Measured round 3 on this
 # machine, 1 CPU core: rlog time_learn per-iter over 5 iters =
@@ -245,6 +255,50 @@ def bench_ctr(args):
     }
 
 
+def bench_sgdc(args):
+    """Config #4 as specified in BASELINE.json: SGD binary classification
+    (sigmoid loss, fm_learn_sgd_element.h:64), k=16, CTR subset.
+    Reference baseline measured on the identical synthetic: 1.390 s/epoch
+    = 1.295M examples/s (1 CPU core, rlog time_learn median, round 4)."""
+    import jax
+
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.sgd import SGDLearner
+    from libfm_tpu.models.fm import FMConfig
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    n_ex = min(args.ratings, 2_000_000)
+    train, test, _ = ctr_like(
+        num_fields=13, field_cardinality=5000, num_examples=n_ex, seed=1
+    )
+    train.binarize_targets()
+    test.binarize_targets()
+    cfg = FMConfig(num_features=train.num_features, num_factors=16,
+                   regv=0.01, regw=0.01)
+    learner = SGDLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1,
+        learn_rate=0.01, batch_size=32768, seed=1, verbose=False,
+    )
+    t0 = time.time()
+    learner.learn(train, test)
+    dt = float(np.median([h[2] for h in learner.history[1:]]))
+    ex_s = train.num_rows / dt
+    return {
+        "metric": "sgd_ctr_k16_classification_examples_per_s_per_chip",
+        "value": round(ex_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_s / BASELINE_SGDC_EXAMPLES_PER_S, 2),
+        "detail": {
+            "median_epoch_s": round(dt, 4),
+            "test_accuracy": round(float(learner.history[-1][1]), 4),
+            "train_rows": train.num_rows,
+            "reference_s_per_epoch": 1.390,
+            "device": str(jax.devices()[0]),
+            "total_wall_s": round(time.time() - t0, 1),
+        },
+    }
+
+
 def bench_largevocab(args):
     """Config #5: MCMC classification k=128 over 1.04M features
     (26 zipf fields x 40000), 2.7M train rows — the V-sharding config.
@@ -369,6 +423,7 @@ WORKLOADS = {
     "als": bench_als,
     "ml": bench_ml,
     "ctr": bench_ctr,
+    "sgdc": bench_sgdc,
     "largevocab": bench_largevocab,
     "bs": bench_bs,
 }

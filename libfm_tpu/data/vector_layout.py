@@ -176,6 +176,97 @@ def build_block_layout(
     )
 
 
+def slab_partition(
+    slot_case: np.ndarray,
+    slot_val: np.ndarray,
+    seg_feat: np.ndarray,
+    slab: int,
+    num_rows: int,
+    pad_feat: int | None = None,
+):
+    """Regroup a CASE-SORTED block's segments into case windows < `slab`.
+
+    Precondition (established by the learner's case reordering): the
+    block's features own contiguous, ascending case-id ranges, so each
+    segment's real slot ids span a narrow window. The stats/dual passes
+    can then `dynamic_slice` a chip-resident slab of A and gather from
+    the slice at the small-table rate (~2.2 ns/row vs the ~45 ns/row
+    big-table floor — BENCHNOTES "Gather cost vs table size").
+
+    Returns (sc_rel [ns, ms, W], sv [ns, ms, W], sf [ns, ms],
+    starts [ns]) with slab-relative slot ids (padding -> id 0, val 0),
+    or None when the layout is infeasible (non-monotone ranges, a
+    feature wider than the slab, or pathological slab skew).
+    """
+    nseg, W = slot_case.shape
+    if nseg == 0 or num_rows + 1 < slab:
+        return None
+    real = slot_case < num_rows
+    any_real = real.any(axis=1)
+    hi = np.where(real, slot_case, -1).max(axis=1)
+    lo = np.where(real, slot_case, num_rows + 1).min(axis=1)
+    if (hi[any_real] - lo[any_real] >= slab).any():
+        return None
+    # greedy monotone walk (segments arrive feature-sorted = case-sorted)
+    slab_of = np.zeros(nseg, dtype=np.int64)
+    starts = []
+    cur_start = -1
+    for s in range(nseg):
+        if not any_real[s]:
+            if not starts:
+                starts.append(0)
+                cur_start = 0
+            slab_of[s] = len(starts) - 1
+            continue
+        if cur_start < 0 or hi[s] - cur_start >= slab:
+            if lo[s] < cur_start:
+                return None  # ranges not monotone: not a sorted block
+            cur_start = int(lo[s])
+            starts.append(cur_start)
+        elif lo[s] < cur_start:
+            return None
+        slab_of[s] = len(starts) - 1
+    ns = len(starts)
+    counts = np.bincount(slab_of, minlength=ns)
+    ms = int(counts.max())
+    if ms * ns > 4 * nseg + 4 * ns:
+        return None  # skewed slabs: padding would dominate
+    starts = np.minimum(
+        np.asarray(starts, dtype=np.int64), num_rows + 1 - slab
+    )
+    sc_rel = np.zeros((ns, ms, W), dtype=np.int32)
+    sv = np.zeros((ns, ms, W), dtype=np.float32)
+    sf = np.zeros((ns, ms), dtype=np.int32)
+    # scatter segments into their slab rows (vectorised ragged fill)
+    order = np.argsort(slab_of, kind="stable")
+    pos = np.arange(nseg, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    src = order
+    dst_slab = np.repeat(np.arange(ns, dtype=np.int64), counts)
+    st = starts[dst_slab][:, None]
+    rel = np.where(
+        slot_case[src] < num_rows, slot_case[src] - st, 0
+    ).astype(np.int32)
+    sc_rel[dst_slab, pos] = rel
+    sv[dst_slab, pos] = np.where(
+        slot_case[src] < num_rows, slot_val[src], 0.0
+    )
+    sf[dst_slab, pos] = seg_feat[src]
+    # padding segments: the stats path needs a MONOTONE per-slab sf
+    # (sorted GG scatters) -> duplicate the slab's last real feature id
+    # with zero payload; the dual-draw path instead needs the sentinel
+    # feature (`pad_feat` = F) so padding never overdraws a real feature
+    for i in range(ns):
+        c = counts[i]
+        if c < ms:
+            if pad_feat is not None:
+                sf[i, c:] = pad_feat
+            else:
+                sf[i, c:] = sf[i, c - 1] if c else 0
+    return sc_rel, sv, sf, starts.astype(np.int32)
+
+
 def padded_rows_layout(indptr, cols, vals, align: int = 1):
     """Padded [num_rows, L] (ids, vals) arrays for dense per-case passes
     (prediction / e-refresh). Sentinel id = num_features is NOT used;

@@ -88,15 +88,25 @@ class DevBucket:
     seg_feat: jax.Array
     seg_feat2: jax.Array
     width: int
+    # Case-sorted slab form (BENCHNOTES "Gather cost vs table size"):
+    # each scan step covers ONE `slab`-case window of A starting at
+    # slab_start[step]; slot_case is then SLAB-RELATIVE and the pass
+    # gathers from a dynamic_slice of A instead of the full table.
+    slab_start: jax.Array | None = None
+    slab: int = 0
 
     def tree_flatten(self):
         return (
-            self.slot_case, self.slot_val, self.seg_feat, self.seg_feat2
-        ), self.width
+            self.slot_case, self.slot_val, self.seg_feat, self.seg_feat2,
+            self.slab_start,
+        ), (self.width, self.slab)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, width=aux)
+        return cls(
+            *children[:4], width=aux[0], slab_start=children[4],
+            slab=aux[1],
+        )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -207,6 +217,75 @@ class MCMCVectorLearner(MCMCLearner):
         self.case_major_stats = True
         # dense-draw scan chunk (features per batched-Cholesky step)
         self._fc_chunk = 1024
+        # Case reordering (VERDICT r4 item 4): when A is past the
+        # chip-resident gather cliff and one conflict-free block holds a
+        # large share of the slots, sort the TRAIN cases by that block's
+        # feature (case order is a free permutation — it only permutes
+        # A's rows) so its stats/dual gathers run slab-partitioned from
+        # dynamic_slice'd chip-resident windows of A (~2.2 vs ~45
+        # ns/row). Applied on the resident, unmeshed, non-relational
+        # path only.
+        self.case_reorder = True
+        self.case_reorder_min_bytes = 128 << 20
+        # slab window (cases) for the slab-partitioned gathers; None =
+        # auto (~16 MB of A rows)
+        self.slab_cases = None
+
+    # ---------------------------------------------------- case reorder
+    def _maybe_reorder_cases(self, train):
+        """Sort train cases by the dominant conflict-free block's feature
+        so that block's features own contiguous case ranges (the slab
+        gather precondition). Returns (train, sorted_feat0) where
+        sorted_feat0 is the global id of the sorted block's first feature
+        (None = not reordered). Pure host-side preprocessing: the
+        permutation is deterministic from the data, so checkpoints
+        resume consistently, and every per-case metric is a sum —
+        invariant under the permutation."""
+        if not self.case_reorder or self.mesh is not None:
+            return train, None
+        if not hasattr(train, "indptr"):  # streaming: windows are fixed
+            return train, None
+        nc = train.num_rows
+        k = self.cfg.num_factors
+        itemsize = jnp.dtype(self.dtype).itemsize
+        if (nc + 1) * (1 + k) * itemsize < self.case_reorder_min_bytes:
+            return train, None  # A gathers chip-resident already
+        from libfm_tpu.data.batching import conflict_free_blocks
+
+        attr_group = self.attr_group_np
+        if attr_group is None:
+            attr_group = np.zeros(self.cfg.num_features, dtype=np.int32)
+        blocks = conflict_free_blocks(train, attr_group=attr_group)
+        if not blocks:
+            return train, None
+        sizes = [len(b.entry_rows) for b in blocks]
+        bi = int(np.argmax(sizes))
+        dom = blocks[bi]
+        if sizes[bi] < 0.25 * sum(sizes):
+            return train, None  # no dominant block: reorder buys little
+        # the dominant block must be on the slot path for slabs to help
+        # (mirror the case-major eligibility bound used at devicization)
+        T = k * (k + 1) // 2
+        MW = T + 3 * k + 5
+        Fd = len(dom.features)
+        if (
+            self.case_major_stats
+            and Fd * MW <= 8_000_000
+            and float(Fd) * MW * nc <= 2e13
+        ):
+            return train, None
+        key = np.full(nc, np.iinfo(np.int64).max, dtype=np.int64)
+        key[dom.entry_rows] = dom.entry_feat
+        perm = np.argsort(key, kind="stable")
+        if self.verbose:
+            print(
+                f"case reorder: sorting {nc} cases by block {bi} "
+                f"({Fd} features, {sizes[bi]} slots) for slab gathers"
+            )
+        self._case_reordered = True  # observability (tests/doctoring)
+        if np.array_equal(perm, np.arange(nc)):
+            return train, int(dom.features[0])  # already sorted
+        return train.permuted(perm), int(dom.features[0])
 
     # ----------------------------------------------------------- layout
     def _build_vector_layouts(self, train):
@@ -386,6 +465,7 @@ class MCMCVectorLearner(MCMCLearner):
         )
         use_linear = cfg.use_linear
 
+        train, sorted_feat0 = self._maybe_reorder_cases(train)
         layout_iter, attr_group_np = self._build_vector_layouts(train)
         G = int(attr_group_np.max()) + 1
         num_attr_per_group = jnp.asarray(
@@ -502,6 +582,54 @@ class MCMCVectorLearner(MCMCLearner):
             )
 
         from libfm_tpu.data.vector_layout import WidthBucket as _WB
+        from libfm_tpu.data.vector_layout import slab_partition as _slabp
+
+        # slab window for case-sorted gathers: ~16 MB of A rows (the
+        # measured chip-resident zone, BENCHNOTES "Gather cost vs table
+        # size"), rounded to a 1024-case multiple
+        SLAB = self.slab_cases or max(
+            8192, ((16 << 20) // ((1 + k) * jnp.dtype(f).itemsize))
+            // 1024 * 1024,
+        )
+
+        def _put_slab_bucket(b, sf2, pad_sf2, pad_feat=None):
+            """Slab form of _put_bucket for the case-sorted block: one
+            scan step per slab, slot ids slab-relative. Falls back to
+            the plain bucket when the slab partition is infeasible.
+            Single-device only (the dynamic A slice would cross `data`
+            shards under a mesh). `pad_feat` (dual buckets) routes
+            padding segments at the sentinel feature."""
+            out = _slabp(
+                b.slot_case, b.slot_val, b.seg_feat, SLAB,
+                train.num_rows, pad_feat=pad_feat,
+            )
+            if out is None:
+                return _put_bucket(
+                    b, sf2, pad_feat if pad_feat is not None else 0,
+                    pad_sf2=pad_sf2,
+                )
+            sc_rel, sv, sf, starts = out
+            if pad_feat is not None:
+                sf2_arr = sf  # dual buckets never read sf2
+            else:
+                # per-feature sf -> sf2 (constant across a feature's
+                # segments, so a feature-indexed map is exact; padding
+                # entries duplicate their slab's last real feature and
+                # stay monotone per slab)
+                sf2_map = np.zeros(
+                    int(b.seg_feat.max()) + 1, dtype=np.int32
+                )
+                sf2_map[b.seg_feat] = sf2
+                sf2_arr = sf2_map[sf]
+            return DevBucket(
+                slot_case=jnp.asarray(sc_rel),
+                slot_val=jnp.asarray(sv, dtype=f),
+                seg_feat=jnp.asarray(sf),
+                seg_feat2=jnp.asarray(sf2_arr),
+                width=b.width,
+                slab_start=jnp.asarray(starts),
+                slab=SLAB,
+            )
 
         # case-major dense-update chunking (see DevLayout.up_col): chunk
         # size bounds the [CU, 1+k] dense slice temps
@@ -604,6 +732,28 @@ class MCMCVectorLearner(MCMCLearner):
                 stats_map = jnp.asarray(
                     smap[np.asarray(up_col).reshape(-1)].reshape(-1, 8192)
                 )
+            # the case-sorted block's stats/dual gathers go slab-local
+            # (dynamic_slice'd A windows) — only when its update runs
+            # case-major (the slot-update fallback still needs absolute
+            # ids) and the chain is single-device
+            use_slab = (
+                sorted_feat0 is not None
+                and len(lay.features)
+                and int(lay.features[0]) == sorted_feat0
+                and up_col is not None
+                and mesh is None
+            )
+            if use_slab:
+                _mk = _put_slab_bucket
+
+                def _mk_dual(b, sf2, F=F):
+                    return _put_slab_bucket(b, sf2, 0, pad_feat=F)
+            else:
+                def _mk(b, sf2, pad_sf2):
+                    return _put_bucket(b, sf2, 0, pad_sf2=pad_sf2)
+
+                def _mk_dual(b, sf2, F=F):
+                    return _put_bucket(b, sf2, F)
             dev_layouts.append(
                 DevLayout(
                     features=jnp.asarray(lay.features),
@@ -612,14 +762,14 @@ class MCMCVectorLearner(MCMCLearner):
                     # never read (update goes through up_col too) — drop
                     # them to save their HBM
                     buckets=[] if stats_map is not None else [
-                        _put_bucket(
-                            b, dense_map[b.seg_feat], 0,
-                            pad_sf2=max(len(dense_feats) - 1, 0),
+                        _mk(
+                            b, dense_map[b.seg_feat],
+                            max(len(dense_feats) - 1, 0),
                         )
                         for b in dense_host
                     ],
                     dual_buckets=[
-                        _put_bucket(b, b.seg_feat.copy(), F)
+                        _mk_dual(b, b.seg_feat.copy())
                         for b in dual_host
                     ],
                     dense_feats=jnp.asarray(dense_feats),
@@ -920,8 +1070,9 @@ class MCMCVectorLearner(MCMCLearner):
                 # data-sharded bucket scatters below cross-shard via SPMD
                 GG = jax.lax.with_sharding_constraint(GG, sh_model2)
 
-            def _slot_hM(sc, sv, sf):
-                A_slot = A[sc]  # [C, W, 1+k] row gather
+            def _slot_hM(sc, sv, sf, A_src=None):
+                A_slot = (A if A_src is None else A_src)[sc]
+                # [C, W, 1+k] row gather (slab path: from a resident slice)
                 e_slot = A_slot[..., 0]
                 Q_slot = A_slot[..., 1:]
                 v_seg = V[feats[sf]]  # [C, k]
@@ -1078,9 +1229,18 @@ class MCMCVectorLearner(MCMCLearner):
                 )
 
             for b in (lay.buckets if "stats" not in self._skip_phases else []):
-                def stats_chunk(GG, inp):
-                    sc, sv, sf, sf2 = inp
-                    e_slot, qp, h = _slot_hM(sc, sv, sf)
+                _slab = b.slab  # static per bucket
+
+                def stats_chunk(GG, inp, _slab=_slab):
+                    if _slab:
+                        sc, sv, sf, sf2, st = inp
+                        A_src = jax.lax.dynamic_slice(
+                            A, (st, 0), (_slab, 1 + k)
+                        )
+                    else:
+                        sc, sv, sf, sf2 = inp
+                        A_src = None
+                    e_slot, qp, h = _slot_hM(sc, sv, sf, A_src)
                     a = h[..., 0]  # [C, W] — x, or 0 when w is frozen
                     hq = h[..., 1:]  # [C, W, k] — x * qp
                     Qq = jnp.einsum(
@@ -1105,10 +1265,10 @@ class MCMCVectorLearner(MCMCLearner):
                     GG = GG.at[sf2].add(Gseg, indices_are_sorted=True)
                     return GG, None
 
-                GG, _ = jax.lax.scan(
-                    stats_chunk, GG,
-                    (b.slot_case, b.slot_val, b.seg_feat, b.seg_feat2),
-                )
+                xs = (b.slot_case, b.slot_val, b.seg_feat, b.seg_feat2)
+                if _slab:
+                    xs = xs + (b.slab_start,)
+                GG, _ = jax.lax.scan(stats_chunk, GG, xs)
 
             lam = jnp.concatenate(
                 [w_lambda_g[groups][:, None], v_lambda_g[groups]], axis=1
@@ -1264,11 +1424,19 @@ class MCMCVectorLearner(MCMCLearner):
                 nch = b.slot_case.shape[0]
                 key, kb_ = jax.random.split(key)
                 ckeys = jax.random.split(kb_, nch)
+                _slab = b.slab
 
-                def dual_chunk(carry, inp):
+                def dual_chunk(carry, inp, _slab=_slab):
                     th_buf, n_rej = carry
-                    sc, sv, sf, ck = inp
-                    e_slot, qp, h = _slot_hM(sc, sv, sf)  # h [C, W, d]
+                    if _slab:
+                        sc, sv, sf, ck, st = inp
+                        A_src = jax.lax.dynamic_slice(
+                            A, (st, 0), (_slab, 1 + k)
+                        )
+                    else:
+                        sc, sv, sf, ck = inp
+                        A_src = None
+                    e_slot, qp, h = _slot_hM(sc, sv, sf, A_src)  # h [C, W, d]
                     thf = theta_old[jnp.minimum(sf, F - 1)]
                     lamf = lam[jnp.minimum(sf, F - 1)]
                     muf = mu_pr[jnp.minimum(sf, F - 1)]
@@ -1309,9 +1477,11 @@ class MCMCVectorLearner(MCMCLearner):
                     ).astype(jnp.int32)
                     return (th_buf, n_rej), None
 
+                xs = (b.slot_case, b.slot_val, b.seg_feat, ckeys)
+                if _slab:
+                    xs = xs + (b.slab_start,)
                 (th_buf, n_rej), _ = jax.lax.scan(
-                    dual_chunk, (th_buf, n_rej),
-                    (b.slot_case, b.slot_val, b.seg_feat, ckeys),
+                    dual_chunk, (th_buf, n_rej), xs
                 )
 
             theta_new = th_buf[:F]

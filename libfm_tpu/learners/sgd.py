@@ -95,67 +95,125 @@ def sgd_batch_update(
     return FMParams(w0=new_w0, w=new_w, v=new_v)
 
 
-def make_epoch_fn(cfg: FMConfig, task: int):
+def make_epoch_fn(cfg: FMConfig, task: int, mode: str = "general"):
     """Build a jitted epoch function over a BatchedCSR stack.
 
     The scan body works on a PACKED parameter table P = [w | V] ([n,
     1+k]) so each mini-batch costs ONE row gather + ONE row scatter
-    instead of two of each. Two further measured TPU optimizations
-    (studies/gather_floor.py + BENCHNOTES "SGD scatter pipeline"):
+    instead of two of each. Measured TPU optimizations
+    (studies/sgd_floor.py + BENCHNOTES "SGD scatter pipeline"):
 
     - all per-entry math runs TRANSPOSED, [1+k, B*L], so the batch dim
       sits in VPU lanes — the natural [B, L, 1+k] orientation leaves
-      ~9/128 lanes live and ran ~2.3x slower end to end;
+      ~9/128 lanes live and ran ~2.4x slower end to end;
     - the scatter indices are pre-sorted on the host once per batch
       stack (ids are static across epochs) and the updates permuted
       inside the jit, so XLA's scatter lowering skips its per-batch
-      bitonic sort (`indices_are_sorted=True`).
+      bitonic sort (`indices_are_sorted=True`);
+    - `mode` specializations chosen by the learner from the (static)
+      batch stack — "pair": L == 2 with all values 1 (the one-hot
+      recommender shape) collapses the pairwise trick to
+      pred = w0 + w_u + w_i + v_u.v_i and grad_v_u = mult * v_i
+      (0.325 -> 0.244 s/epoch at ML-10M k=8); "onehot": values all 1
+      at general L drops every x-multiply and the entry mask.
 
     Same math as sgd_batch_update (exact fm_sgd.h formulas) up to f32
-    summation order for duplicate-feature scatters; pack/unpack happen
-    once per epoch inside the jit.
+    rounding: the scatter summation order for duplicate features, and
+    in "pair" mode the product form of the interaction (the pairwise
+    trick's 0.5[(v_u+v_i)^2 - v_u^2 - v_i^2] rounds differently from
+    the direct v_u.v_i it equals algebraically).
     """
     k = cfg.num_factors
+
+    def pair_step(w0, P, ids, vals, y, row_mask, sids, perm,
+                  lrs, min_t, max_t):
+        B, L = vals.shape
+        E = B * L
+        rows = P[ids.reshape(-1)]                     # [E, 1+k]
+        rT = rows.reshape(B, L, 1 + k).transpose(2, 1, 0)  # [1+k, 2, B]
+        w2 = rT[0]                                    # [2, B]
+        v2 = rT[1:]                                   # [k, 2, B]
+        pred = (v2[:, 0] * v2[:, 1]).sum(axis=0)
+        if cfg.use_linear:
+            pred = pred + w2.sum(axis=0)
+        if cfg.use_bias:
+            pred = pred + w0
+        mult = sgd_multiplier(pred, y, task, min_t, max_t)
+        mult = jnp.where(row_mask, mult, 0.0)         # [B]
+        # padded rows gather feature 0: mask their regularizer terms
+        mask = row_mask.astype(vals.dtype)[None, :]   # [1, B]
+        if cfg.use_bias:
+            n_real = row_mask.sum().astype(vals.dtype)
+            w0 = w0 - lrs[0] * (mult.sum() + n_real * cfg.reg0 * w0)
+        if cfg.use_linear:
+            gw = mult[None, :] + cfg.regw * w2 * mask
+        else:
+            gw = jnp.zeros_like(w2)
+        gv = mult * v2[:, ::-1] + cfg.regv * v2 * mask[None]
+        upd = jnp.concatenate(
+            [(-lrs[1] * gw)[None], -lrs[2] * gv], axis=0
+        )  # [1+k, 2, B]
+        upd_rows = upd.transpose(2, 1, 0).reshape(E, 1 + k)
+        P = P.at[sids].add(upd_rows[perm], indices_are_sorted=True)
+        return w0, P
 
     def packed_step(w0, P, ids, vals, y, row_mask, sids, perm,
                     lrs, min_t, max_t):
         B, L = vals.shape
         E = B * L
+        onehot = mode == "onehot"
         rows = P[ids.reshape(-1)]        # [E, 1+k] — the single gather
         rT = rows.T                      # [1+k, E]: entries in lanes
         vT = vals.reshape(1, E)
         w_g = rT[0]                      # [E]
         v_g = rT[1:]                     # [k, E]
-        vx = v_g * vT
+        vx = v_g if onehot else v_g * vT
         vsB = vx.reshape(k, B, L).sum(axis=2)       # [k, B]
         pred = 0.5 * (
             (vsB * vsB).sum(axis=0)
             - (vx * vx).reshape(k, B, L).sum(axis=(0, 2))
         )
         if cfg.use_linear:
-            pred = pred + (w_g * vT[0]).reshape(B, L).sum(axis=1)
+            pred = pred + (
+                w_g.reshape(B, L).sum(axis=1)
+                if onehot
+                else (w_g * vT[0]).reshape(B, L).sum(axis=1)
+            )
         if cfg.use_bias:
             pred = pred + w0
         mult = sgd_multiplier(pred, y, task, min_t, max_t)
         mult = jnp.where(row_mask, mult, 0.0)       # [B]
         mE = jnp.repeat(mult, L)                    # [E]
-        emask = (vT != 0.0).astype(vals.dtype)      # [1, E]
+        # one-hot stacks have no partial-row padding beyond masked rows,
+        # whose multiplier is already zero; their reg terms mask by row
+        emask = (
+            jnp.repeat(row_mask, L).astype(vals.dtype)[None]
+            if onehot
+            else (vT != 0.0).astype(vals.dtype)
+        )  # [1, E]
 
         if cfg.use_bias:
             n_real = row_mask.sum().astype(vals.dtype)
             w0 = w0 - lrs[0] * (mult.sum() + n_real * cfg.reg0 * w0)
         if cfg.use_linear:
-            gw = mE * vT[0] + cfg.regw * w_g * emask[0]
+            gw = (mE if onehot else mE * vT[0]) + cfg.regw * w_g * emask[0]
         else:
             gw = jnp.zeros((E,), vals.dtype)
         vsum = jnp.repeat(vsB, L, axis=1)           # [k, E]
-        gv = mE * (vsum * vT - v_g * (vT * vT)) + cfg.regv * v_g * emask
+        gv = (
+            mE * (vsum - v_g)
+            if onehot
+            else mE * (vsum * vT - v_g * (vT * vT))
+        ) + cfg.regv * v_g * emask
         upd = jnp.concatenate(
             [(-lrs[1] * gw)[None], -lrs[2] * gv], axis=0
         )  # [1+k, E]
         # permute updates into the pre-sorted scatter order
         P = P.at[sids].add(upd.T[perm], indices_are_sorted=True)
         return w0, P
+
+    if mode == "pair":
+        packed_step = pair_step
 
     def epoch(params, ids, vals, y, row_mask, sids, perm, lrs, min_t, max_t):
         P = jnp.concatenate([params.w[:, None], params.v], axis=1)
@@ -175,6 +233,23 @@ def make_epoch_fn(cfg: FMConfig, task: int):
         return FMParams(w0=w0, w=P[:, 0], v=P[:, 1:])
 
     return jax.jit(epoch)
+
+
+def _epoch_mode(train: Dataset, tb: BatchedCSR) -> str:
+    """Pick the epoch specialization from the STATIC batch stack:
+    "pair" for uniform 2-entry one-hot rows (the recommender shape),
+    "onehot" for uniform-L one-hot rows, else "general". Measured on
+    ML-10M k=8 (studies/sgd_floor.py): pair 0.325 -> 0.244 s/epoch."""
+    lengths = np.diff(train.indptr)
+    L = tb.ids.shape[2]
+    uniform = lengths.size > 0 and int(lengths.min()) == int(
+        lengths.max()
+    ) == L
+    if not uniform:
+        return "general"
+    if not (train.vals == 1.0).all():
+        return "general"
+    return "pair" if L == 2 else "onehot"
 
 
 def sorted_scatter_order(ids: np.ndarray):
@@ -249,6 +324,7 @@ class SGDLearner:
         self.min_target = 0.0
         self.max_target = 0.0
         self._epoch = make_epoch_fn(cfg, task)
+        self._epoch_mode_built = "general"
         self._eval = make_eval_fn(cfg, task)
         if rlog is not None:
             self._register_log_fields()
@@ -283,6 +359,10 @@ class SGDLearner:
 
         tb = batch_dataset(train, self.batch_size)
         eb = batch_dataset(test, self.batch_size)
+        mode = _epoch_mode(train, tb)
+        if mode != self._epoch_mode_built:
+            self._epoch = make_epoch_fn(self.cfg, self.task, mode)
+            self._epoch_mode_built = mode
         t_arrs = _device_arrays(tb)
         e_arrs = _device_arrays(eb)
         sids, perm = sorted_scatter_order(tb.ids)

@@ -49,20 +49,121 @@ def build_stack(train, B):
     )
 
 
+def dedup_order(sids_np):
+    """Host-side: per-batch unique sorted ids (padded with a dummy id
+    n+pos so every slot stays unique) + entry->unique segment map."""
+    nb, E = sids_np.shape
+    U = max(len(np.unique(b)) for b in sids_np)
+    n = int(sids_np.max()) + 1
+    usids = np.zeros((nb, U), np.int32)
+    segid = np.zeros((nb, E), np.int32)
+    for i in range(nb):
+        u, inv = np.unique(sids_np[i], return_inverse=True)
+        usids[i, : len(u)] = u
+        # dummy rows live past n — the study pads P by U rows so the
+        # padding scatter slots stay genuinely unique and in bounds
+        usids[i, len(u):] = np.arange(U - len(u)) + n
+        segid[i] = inv
+    return usids, segid
+
+
 def make_variant(cfg, variant):
     """Epoch fn of (w0, P, stack arrays...) -> (w0, P, acc)."""
     k = cfg.num_factors
     lr0 = lr1 = lr2 = 0.003
 
-    def step(w0, P, acc, ids, vals, y, row_mask, sids, perm):
+    def step(w0, P, acc, ids, vals, y, row_mask, sids, perm, *dd):
         B, L = vals.shape
         E = B * L
         if variant == "dispatch":
             return w0, P, acc + y.sum()
         rows = P[ids.reshape(-1)]
+        if variant == "natural":
+            # no transposes: all math in the gathered [B, L, 1+k]
+            # orientation, scatter natural-order unsorted
+            r3 = rows.reshape(B, L, 1 + k)
+            w_g = r3[..., 0]
+            v_g = r3[..., 1:]
+            vx = v_g * vals[..., None]
+            vsB = vx.sum(axis=1)                      # [B, k]
+            pred = 0.5 * ((vsB * vsB).sum(-1) - (vx * vx).sum((1, 2)))
+            pred = pred + (w_g * vals).sum(-1) + w0
+            mult = jnp.where(row_mask, pred - y, 0.0)
+            n_real = row_mask.sum().astype(vals.dtype)
+            w0 = w0 - lr0 * (mult.sum() + n_real * cfg.reg0 * w0)
+            emask = (vals != 0.0).astype(vals.dtype)
+            gw = mult[:, None] * vals + cfg.regw * w_g * emask
+            gv = mult[:, None, None] * (
+                vsB[:, None, :] * vals[..., None]
+                - v_g * (vals * vals)[..., None]
+            ) + cfg.regv * v_g * emask[..., None]
+            upd = jnp.concatenate(
+                [(-lr1 * gw)[..., None], -lr2 * gv], axis=-1
+            ).reshape(E, 1 + k)
+            P = P.at[ids.reshape(-1)].add(upd)
+            return w0, P, acc
+        if variant == "onehot":
+            # vals == 1 for every real entry (ML one-hot); padding rows
+            # are masked via mult. Same transposed pipeline minus every
+            # val multiply and the emask.
+            rT = rows.T
+            w_g = rT[0]
+            v_g = rT[1:]
+            vsB = v_g.reshape(k, B, L).sum(axis=2)
+            pred = 0.5 * (
+                (vsB * vsB).sum(axis=0)
+                - (v_g * v_g).reshape(k, B, L).sum(axis=(0, 2))
+            )
+            pred = pred + w_g.reshape(B, L).sum(axis=1) + w0
+            mult = jnp.where(row_mask, pred - y, 0.0)
+            mE = jnp.repeat(mult, L)
+            n_real = row_mask.sum().astype(vals.dtype)
+            w0 = w0 - lr0 * (mult.sum() + n_real * cfg.reg0 * w0)
+            gw = mE + cfg.regw * w_g
+            vsum = jnp.repeat(vsB, L, axis=1)
+            gv = mE * (vsum - v_g) + cfg.regv * v_g
+            upd = jnp.concatenate([(-lr1 * gw)[None], -lr2 * gv], axis=0)
+            P = P.at[sids].add(upd.T[perm], indices_are_sorted=True)
+            return w0, P, acc
+        if variant == "pair":
+            # L == 2 one-hot closed form (the ML shape): pred = w0 + w_u
+            # + w_i + v_u . v_i; grad_v_u = mult * v_i (and vice versa).
+            # Transposed orientation, minimal op count.
+            rT = rows.reshape(B, L, 1 + k).transpose(2, 1, 0)  # [1+k, 2, B]
+            w2 = rT[0]          # [2, B]
+            v2 = rT[1:]         # [k, 2, B]
+            pred = w0 + w2.sum(axis=0) + (v2[:, 0] * v2[:, 1]).sum(axis=0)
+            mult = jnp.where(row_mask, pred - y, 0.0)   # [B]
+            n_real = row_mask.sum().astype(vals.dtype)
+            w0 = w0 - lr0 * (mult.sum() + n_real * cfg.reg0 * w0)
+            gw = mult[None, :] + cfg.regw * w2          # [2, B]
+            gv = mult * v2[:, ::-1] + cfg.regv * v2     # [k, 2, B]
+            upd = jnp.concatenate([(-lr1 * gw)[None], -lr2 * gv], axis=0)
+            upd_rows = upd.transpose(2, 1, 0).reshape(E, 1 + k)
+            P = P.at[sids].add(upd_rows[perm], indices_are_sorted=True)
+            return w0, P, acc
         rT = rows.T
         if variant == "gather_only":
             return w0, P, acc + rT.sum()
+        if variant == "scatteronly":
+            # pure sorted scatter of a cheap update (rows scaled) at the
+            # presorted ids — isolates the scatter from math and perm
+            P = P.at[sids].add(rows * 1e-6, indices_are_sorted=True)
+            return w0, P, acc
+        if variant == "mathfwd":
+            # gather + forward only (no grads, no scatter)
+            vT = vals.reshape(1, E)
+            w_g = rT[0]
+            v_g = rT[1:]
+            vx = v_g * vT
+            vsB = vx.reshape(k, B, L).sum(axis=2)
+            pred = 0.5 * (
+                (vsB * vsB).sum(axis=0)
+                - (vx * vx).reshape(k, B, L).sum(axis=(0, 2))
+            )
+            pred = pred + (w_g * vT[0]).reshape(B, L).sum(axis=1) + w0
+            mult = jnp.where(row_mask, pred - y, 0.0)
+            return w0, P, acc + mult.sum()
         vT = vals.reshape(1, E)
         w_g = rT[0]
         v_g = rT[1:]
@@ -87,18 +188,29 @@ def make_variant(cfg, variant):
         if variant == "noperm":
             P = P.at[ids.reshape(-1)].add(upd.T)
             return w0, P, acc
+        if variant == "dedup":
+            # combine duplicate ids (sorted segments) then scatter the
+            # ~40% fewer unique rows with unique_indices=True
+            usids, segs = dd
+            comb = jax.ops.segment_sum(
+                upd.T[perm], segs, num_segments=usids.shape[0],
+                indices_are_sorted=True,
+            )
+            P = P.at[usids].add(
+                comb, indices_are_sorted=True, unique_indices=True
+            )
+            return w0, P, acc
         P = P.at[sids].add(upd.T[perm], indices_are_sorted=True)
         return w0, P, acc
 
-    def epoch(w0, P, ids, vals, y, row_mask, sids, perm):
+    def epoch(w0, P, *arrs):
         def body(carry, batch):
             w0, P, acc = carry
             w0, P, acc = step(w0, P, acc, *batch)
             return (w0, P, acc), None
 
         (w0, P, acc), _ = jax.lax.scan(
-            body, (w0, P, jnp.zeros((), jnp.float32)),
-            (ids, vals, y, row_mask, sids, perm),
+            body, (w0, P, jnp.zeros((), jnp.float32)), arrs
         )
         return w0, P, acc + P[0].sum()
 
@@ -150,11 +262,26 @@ def main():
         stack = build_stack(train, B)
         nb = stack[0].shape[0]
         for variant in args.variants:
+            if variant == "dedup":
+                usids, _ = dedup_order(np.asarray(stack[4]))
+                # sorted-entry segment ids: positions within the sorted
+                # id vector (nondecreasing by construction)
+                segs = np.zeros(stack[4].shape, np.int32)
+                sids_np = np.asarray(stack[4])
+                for i in range(nb):
+                    segs[i] = np.searchsorted(
+                        np.asarray(usids[i]), sids_np[i]
+                    )
+                vstack = stack + (jnp.asarray(usids), jnp.asarray(segs))
+            else:
+                vstack = stack
             fn = make_variant(cfg, variant)
+            n_rows = n + (vstack[6].shape[1] if variant == "dedup" else 0)
             P = jnp.asarray(
-                rng.standard_normal((n, 1 + cfg.num_factors)), jnp.float32
+                rng.standard_normal((n_rows, 1 + cfg.num_factors)),
+                jnp.float32,
             ) * 0.01
-            dt, _, _ = time_epoch(fn, jnp.zeros((), jnp.float32), P, stack)
+            dt, _, _ = time_epoch(fn, jnp.zeros((), jnp.float32), P, vstack)
             per_batch = dt / nb
             results.append(dict(B=B, nb=nb, variant=variant,
                                 epoch_s=round(dt, 4),

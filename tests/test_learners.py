@@ -53,6 +53,55 @@ def test_sgd_classification_converges(ctr_small):
     assert ((p >= 0) & (p <= 1)).all()  # sigmoid link
 
 
+def test_sgd_epoch_specializations_match_general(ml_small, ctr_small):
+    """The static epoch specializations (sgd.py make_epoch_fn modes) must
+    compute the same epoch as the general path: "onehot" drops only
+    multiplies by exactly 1.0 (equal up to XLA fusion/FMA rounding);
+    "pair" uses the direct v_u.v_i product the pairwise trick equals
+    algebraically (equal up to f32 rounding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libfm_tpu.data.batching import batch_dataset
+    from libfm_tpu.learners.sgd import (
+        _epoch_mode,
+        make_epoch_fn,
+        sorted_scatter_order,
+    )
+    from libfm_tpu.models.fm import init_fm
+
+    for (train, *_), want_mode in (
+        (ml_small, "pair"),
+        (ctr_small, "onehot"),
+    ):
+        tb = batch_dataset(train, 128)
+        assert _epoch_mode(train, tb) == want_mode
+        params = init_fm(
+            FMConfig(num_features=train.num_features, num_factors=4),
+            jax.random.PRNGKey(0),
+        )
+        sids, perm = sorted_scatter_order(tb.ids)
+        args = (
+            jnp.asarray(tb.ids), jnp.asarray(tb.vals), jnp.asarray(tb.y),
+            jnp.asarray(tb.row_mask), jnp.asarray(sids), jnp.asarray(perm),
+            jnp.asarray([0.01, 0.01, 0.01], jnp.float32),
+            float(train.min_target), float(train.max_target),
+        )
+        cfg4 = FMConfig(
+            num_features=train.num_features, num_factors=4,
+            regw=0.05, regv=0.05,
+        )
+        ref = make_epoch_fn(cfg4, TASK_REGRESSION, "general")(params, *args)
+        got = make_epoch_fn(cfg4, TASK_REGRESSION, want_mode)(params, *args)
+        np.testing.assert_allclose(
+            np.asarray(ref.v), np.asarray(got.v), rtol=0, atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.w), np.asarray(got.w), rtol=0, atol=5e-6
+        )
+        assert np.allclose(float(ref.w0), float(got.w0), atol=1e-6)
+
+
 def test_als_deterministic(ml_small):
     train, test = ml_small
     cfg = FMConfig(num_features=train.num_features, num_factors=4, regw=1, regv=1)

@@ -311,3 +311,80 @@ def test_als_default_refresh_drift_bound(ml_small):
             cfg, num_iter=1, verbose=False, task=TASK_CLASSIFICATION
         ).refresh_every == 1
     )
+
+
+def test_case_reorder_slab_stats_matches_unordered(ml_small):
+    """Case reordering + slab-partitioned gathers (VERDICT r4 item 4)
+    must not change the chain: the permutation only reindexes cases and
+    the slab gathers read the same A rows through a resident slice. Run
+    in f64 so any real difference stands out above summation-order
+    noise (the slab chunking does reorder a few f32 adds)."""
+    train, test = ml_small
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+
+    def run(reorder):
+        l = MCMCVectorLearner(cfg, num_iter=6, seed=9, verbose=False)
+        l.case_reorder = reorder
+        l.case_reorder_min_bytes = 0  # force at tiny scale
+        l.case_major_stats = False  # force the slot path (slabs' target)
+        l.slab_cases = 1024
+        l.learn(train, test)
+        return l
+
+    a = run(False)
+    b = run(True)
+    assert getattr(b, "_case_reordered", False), "reorder did not engage"
+    assert not getattr(a, "_case_reordered", False)
+    for ha, hb in zip(a.history, b.history):
+        # identical chain up to f32 summation-order noise (the slab
+        # chunk boundaries regroup a few GG adds)
+        assert abs(ha["test_all"] - hb["test_all"]) < 2e-4, (ha, hb)
+        assert abs(ha["train"] - hb["train"]) < 2e-4
+
+
+def test_slab_partition_roundtrip():
+    """slab_partition must preserve every (case, val, feature) slot and
+    produce in-window relative ids."""
+    from libfm_tpu.data.vector_layout import slab_partition
+
+    rng = np.random.default_rng(0)
+    num_rows, W, SLAB = 5000, 8, 1024
+    # contiguous feature ranges (the case-sorted precondition)
+    nseg = 40
+    segs, feat, start = [], [], 0
+    for s in range(nseg):
+        ln = int(rng.integers(1, W + 1))
+        ids = np.arange(start, min(start + ln, num_rows))
+        row = np.full(W, num_rows, np.int32)
+        row[: len(ids)] = ids
+        segs.append(row)
+        feat.append(s // 3)
+        start += ln
+    slot_case = np.stack(segs)
+    slot_val = np.where(
+        slot_case < num_rows, rng.standard_normal(slot_case.shape), 0.0
+    ).astype(np.float32)
+    seg_feat = np.asarray(feat, np.int32)
+    out = slab_partition(slot_case, slot_val, seg_feat, SLAB, num_rows)
+    assert out is not None
+    sc_rel, sv, sf, starts = out
+    ns, ms, _ = sc_rel.shape
+    assert (sc_rel >= 0).all() and (sc_rel < SLAB).all()
+    got = set()
+    want = {
+        (int(c), float(v), int(f_))
+        for c, v, f_ in zip(
+            slot_case[slot_case < num_rows],
+            slot_val[slot_case < num_rows],
+            np.repeat(seg_feat, W)[slot_case.reshape(-1) < num_rows],
+        )
+    }
+    for i in range(ns):
+        for j in range(ms):
+            for w in range(W):
+                if sv[i, j, w] != 0.0:
+                    got.add(
+                        (int(sc_rel[i, j, w] + starts[i]),
+                         float(sv[i, j, w]), int(sf[i, j]))
+                    )
+    assert got == want
