@@ -94,18 +94,23 @@ class DevBucket:
     # gathers from a dynamic_slice of A instead of the full table.
     slab_start: jax.Array | None = None
     slab: int = 0
+    # one segment per feature in feature order (unique_feats layouts):
+    # per-chunk stats rows are contiguous GG rows [i*C, (i+1)*C) — the
+    # engine stores them with dynamic_update_slice instead of the
+    # fat-row scatter-add (0.51 s/iter of the ML-10M headline)
+    slice_store: bool = False
 
     def tree_flatten(self):
         return (
             self.slot_case, self.slot_val, self.seg_feat, self.seg_feat2,
             self.slab_start,
-        ), (self.width, self.slab)
+        ), (self.width, self.slab, self.slice_store)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             *children[:4], width=aux[0], slab_start=children[4],
-            slab=aux[1],
+            slab=aux[1], slice_store=aux[2],
         )
 
 
@@ -205,6 +210,9 @@ class MCMCVectorLearner(MCMCLearner):
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
         self._skip_phases = frozenset()
+        # profiling-only: "slice" replaces the stats GG scatter with a
+        # contiguous write (wrong results, real timings)
+        self._stats_store = "scatter"
         # relational (BS) routing knobs: joins whose materialisation is
         # <= expand_max_ratio x the BS form run flat on the expansion;
         # fatter joins use the BS vector engine (mcmc_rel_vector.py)
@@ -217,15 +225,20 @@ class MCMCVectorLearner(MCMCLearner):
         self.case_major_stats = True
         # dense-draw scan chunk (features per batched-Cholesky step)
         self._fc_chunk = 1024
-        # Case reordering (VERDICT r4 item 4): when A is past the
-        # chip-resident gather cliff and one conflict-free block holds a
-        # large share of the slots, sort the TRAIN cases by that block's
-        # feature (case order is a free permutation — it only permutes
-        # A's rows) so its stats/dual gathers run slab-partitioned from
-        # dynamic_slice'd chip-resident windows of A (~2.2 vs ~45
-        # ns/row). Applied on the resident, unmeshed, non-relational
-        # path only.
-        self.case_reorder = True
+        # Case reordering + slab gathers (VERDICT r4 item 4): sort TRAIN
+        # cases by the dominant block's feature and gather its stats
+        # from dynamic_slice'd windows of A. Measured on the ML-10M
+        # headline (studies/headline_reorder.py): the REORDER itself is
+        # free (1.4401 vs 1.4434 s/iter) but buys nothing — big-table
+        # gather cost is index-pattern-independent — and the slab scan
+        # REGRESSED to 2.46 s/iter because its 3.6x more scan steps each
+        # paid the fat-row GG scatter's fixed cost. The real fix was
+        # eliminating that scatter via whole-feature segments + slice
+        # writes (vector_layout.py, 1.44 -> 0.88 s/iter), after which
+        # slabs would need slice-compatible GG row continuity to help
+        # further (~0.09 s bound). Default OFF; machinery retained for
+        # experiments, parity-tested with forced flags.
+        self.case_reorder = False
         self.case_reorder_min_bytes = 128 << 20
         # slab window (cases) for the slab-partitioned gathers; None =
         # auto (~16 MB of A rows)
@@ -527,13 +540,16 @@ class MCMCVectorLearner(MCMCLearner):
         SLOT_BUDGET = 1 << 18  # slots gathered per scan step
         SEG_BUDGET = 8192  # segments per step (bounds the [C, d+1, d+1] temp)
 
-        def _put_bucket(b, sf2, pad_sf, pad_sf2=0):
+        def _put_bucket(b, sf2, pad_sf, pad_sf2=0, slice_store=False):
             """Chunk a host bucket for lax.scan. `sf2` is the secondary
             (dense-remapped) per-segment id array; `pad_sf` the feature
             sentinel used for padding segments; `pad_sf2` the sf2 pad
             value — callers relying on `indices_are_sorted` must pass the
             max real sf2 so padded chunks stay monotone (padded payloads
-            are exactly zero, so duplicating a real index is harmless)."""
+            are exactly zero, so duplicating a real index is harmless).
+            `slice_store` (unique_feats layouts, sf2 == arange): pad sf2
+            by CONTINUING the arange so every chunk's GG rows are exactly
+            [i*C, (i+1)*C) and the stats store is a slice write."""
             sc, sv, sf = b.slot_case, b.slot_val, b.seg_feat
             C = max(1, min(SLOT_BUDGET // b.width, SEG_BUDGET))
             if mesh is not None:
@@ -545,9 +561,15 @@ class MCMCVectorLearner(MCMCLearner):
                 )
                 sv = np.concatenate([sv, np.zeros((pad, b.width), np.float32)])
                 sf = np.concatenate([sf, np.full(pad, pad_sf, np.int32)])
-                sf2 = np.concatenate(
-                    [sf2, np.full(pad, pad_sf2, np.int32)]
-                )
+                if slice_store:
+                    sf2 = np.concatenate(
+                        [sf2,
+                         np.arange(len(sf2), len(sf2) + pad, dtype=np.int32)]
+                    )
+                else:
+                    sf2 = np.concatenate(
+                        [sf2, np.full(pad, pad_sf2, np.int32)]
+                    )
             nchunk = len(sf) // C
             sc = sc.reshape(nchunk, C, b.width).copy()
             sv = sv.reshape(nchunk, C, b.width)
@@ -579,6 +601,7 @@ class MCMCVectorLearner(MCMCLearner):
                 seg_feat=jnp.asarray(sf),
                 seg_feat2=jnp.asarray(sf2),
                 width=b.width,
+                slice_store=slice_store,
             )
 
         from libfm_tpu.data.vector_layout import WidthBucket as _WB
@@ -690,6 +713,9 @@ class MCMCVectorLearner(MCMCLearner):
                     dense_host.append(_WB(
                         b.width, b.slot_case[~elig], b.slot_val[~elig],
                         b.seg_feat[~elig], b.seg_whole[~elig],
+                        # a subset of a one-seg-per-feature bucket keeps
+                        # the property (order preserved by the mask)
+                        unique_feats=b.unique_feats,
                     ))
             feat_is_dual = np.zeros(F, dtype=bool)
             for db in dual_host:
@@ -750,7 +776,19 @@ class MCMCVectorLearner(MCMCLearner):
                     return _put_slab_bucket(b, sf2, 0, pad_feat=F)
             else:
                 def _mk(b, sf2, pad_sf2):
-                    return _put_bucket(b, sf2, 0, pad_sf2=pad_sf2)
+                    # unique_feats + identity sf2: store stats via slice
+                    # writes (no fat-row GG scatter); mesh keeps the
+                    # scatter (GG is model-sharded there)
+                    sl = (
+                        mesh is None
+                        and getattr(b, "unique_feats", False)
+                        and np.array_equal(
+                            sf2, np.arange(len(sf2), dtype=sf2.dtype)
+                        )
+                    )
+                    return _put_bucket(
+                        b, sf2, 0, pad_sf2=pad_sf2, slice_store=sl
+                    )
 
                 def _mk_dual(b, sf2, F=F):
                     return _put_bucket(b, sf2, F)
@@ -1054,6 +1092,19 @@ class MCMCVectorLearner(MCMCLearner):
                 M_ = mesh.shape["model"]
                 FC = max(M_, (FC // M_) * M_)
             Fd_pad = ((max(Fd, 1) + FC - 1) // FC) * FC
+            # slice-store buckets write chunk-aligned GG rows
+            # [i*C, (i+1)*C): size GG (and the draw chunking with it) to
+            # cover the chunk-padded segment count
+            slice_rows = max(
+                (
+                    b.seg_feat2.shape[0] * b.seg_feat2.shape[1]
+                    for b in lay.buckets
+                    if b.slice_store
+                ),
+                default=0,
+            )
+            if slice_rows > Fd_pad:
+                Fd_pad = ((slice_rows + FC - 1) // FC) * FC
             # Per-feature sufficient statistics, stored BLOCKED so the
             # MXU work runs at exactly [k, k] instead of [d+1, d+1]: at
             # k=128 the joint [130, 130] outer product pads onto four
@@ -1230,8 +1281,9 @@ class MCMCVectorLearner(MCMCLearner):
 
             for b in (lay.buckets if "stats" not in self._skip_phases else []):
                 _slab = b.slab  # static per bucket
+                _slice = b.slice_store
 
-                def stats_chunk(GG, inp, _slab=_slab):
+                def stats_chunk(GG, inp, _slab=_slab, _slice=_slice):
                     if _slab:
                         sc, sv, sf, sf2, st = inp
                         A_src = jax.lax.dynamic_slice(
@@ -1262,7 +1314,19 @@ class MCMCVectorLearner(MCMCLearner):
                     # rows; a full `GG + seg_sum(...)` would rewrite the
                     # whole multi-GB carry on every scan step (measured:
                     # that dominated k=128 sweeps)
-                    GG = GG.at[sf2].add(Gseg, indices_are_sorted=True)
+                    if _slice or self._stats_store == "slice":
+                        # unique_feats layout: this chunk's rows ARE GG
+                        # rows [sf2[0], sf2[0]+C) in order — store with a
+                        # slice write instead of the fat-row scatter-add
+                        # (0.51 s/iter of the ML-10M headline).
+                        # (self._stats_store == "slice" is the
+                        # profiling-only override with WRONG results on
+                        # non-unique layouts.)
+                        GG = jax.lax.dynamic_update_slice(
+                            GG, Gseg, (sf2[0], 0)
+                        )
+                    else:
+                        GG = GG.at[sf2].add(Gseg, indices_are_sorted=True)
                     return GG, None
 
                 xs = (b.slot_case, b.slot_val, b.seg_feat, b.seg_feat2)
