@@ -225,6 +225,9 @@ class MCMCVectorLearner(MCMCLearner):
         self.case_major_stats = True
         # dense-draw scan chunk (features per batched-Cholesky step)
         self._fc_chunk = 1024
+        # case-major dense-update/stats chunk (cases per scan step;
+        # bounds the [CU, 1+k] slice temps)
+        self._cu_chunk = 1 << 17
         # Case reordering + slab gathers (VERDICT r4 item 4): sort TRAIN
         # cases by the dominant block's feature and gather its stats
         # from dynamic_slice'd windows of A. Measured on the ML-10M
@@ -656,7 +659,7 @@ class MCMCVectorLearner(MCMCLearner):
 
         # case-major dense-update chunking (see DevLayout.up_col): chunk
         # size bounds the [CU, 1+k] dense slice temps
-        CU = 1 << 17
+        CU = self._cu_chunk
         nc_up_pad = ((max(train.num_rows, 1) + CU - 1) // CU) * CU
 
         def _dense_update_arrays(lay, F):
