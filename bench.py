@@ -275,9 +275,16 @@ def bench_sgdc(args):
     test.binarize_targets()
     cfg = FMConfig(num_features=train.num_features, num_factors=16,
                    regv=0.01, regw=0.01)
+    # lr: sum-reduced minibatch needs a ~B-scaled step vs the
+    # reference's per-example 0.01; probe (032_sgdc_lr, round 4): 1e-3
+    # and 3e-4 diverge to NaN on this synthetic, 1e-4 converges
+    # (acc 0.62 -> 0.66 over 5 epochs). Throughput is lr-independent.
+    # B=8192: the CTR epoch optimum (studies/results/sgdc_bsweep.json —
+    # 0.40 s/epoch vs 0.53 at 32768; the scatter is cheaper per row at
+    # smaller E on this 13-entry shape).
     learner = SGDLearner(
         cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1,
-        learn_rate=0.01, batch_size=32768, seed=1, verbose=False,
+        learn_rate=1e-4, batch_size=8192, seed=1, verbose=False,
     )
     t0 = time.time()
     learner.learn(train, test)

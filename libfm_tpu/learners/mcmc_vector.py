@@ -193,23 +193,22 @@ class MCMCVectorLearner(MCMCLearner):
         # maintain the [e|Q] caches exactly (the sampled draws are part
         # of the incremental updates), so the refresh only clears float
         # drift (the reference's own comment,
-        # fm_learn_mcmc_simultaneous.h:123-124). Classification always
-        # refreshes (the probit latent resample lives in that pass).
-        # Default (None): ALS_DEFAULT_REFRESH for every REGRESSION run —
-        # sampled or not, the chain with R>1 is the same chain up to f32
-        # drift (drift bounds tested in tests/test_mcmc_vector.py for
-        # both ALS and sampling); classification keeps 1 (the gate
-        # forces a refresh every iteration there anyway).
-        from libfm_tpu.tasks import TASK_REGRESSION as _TR
-
+        # fm_learn_mcmc_simultaneous.h:123-124). Classification keeps a
+        # persistent probit-latent vector so the per-iteration latent
+        # resample runs on pred = e + latent without re-gathering P
+        # (round 4; same drift argument, tested in
+        # tests/test_mcmc_vector.py). Default (None):
+        # ALS_DEFAULT_REFRESH for every run — sampled or not, the chain
+        # with R>1 is the same chain up to f32 drift.
         if refresh_every is None:
-            refresh_every = (
-                self.ALS_DEFAULT_REFRESH if self.task == _TR else 1
-            )
+            refresh_every = self.ALS_DEFAULT_REFRESH
         self.refresh_every = refresh_every
         # profiling-only: trace-time phase skips inside sweep_block
         # ({"stats", "draw", "update"}); wrong results, real timings
         self._skip_phases = frozenset()
+        # experiment: bf16 inputs (f32 accumulate) for the slot-path
+        # stats outer products — see the einsum site for the rationale
+        self._stats_bf16 = False
         # profiling-only: "slice" replaces the stats GG scatter with a
         # contiguous write (wrong results, real timings)
         self._stats_store = "scatter"
@@ -1011,7 +1010,12 @@ class MCMCVectorLearner(MCMCLearner):
             (no second full-size copy), accumulate the train metric, and
             (classification) resample the probit latent targets
             chunk-wise. init=True uses e = pred - y for both tasks (the
-            reference's initialisation, mcmc_simultaneous.h:70-86)."""
+            reference's initialisation, mcmc_simultaneous.h:70-86).
+
+            Also returns the [nchunk, C] latent matrix (classification:
+            the resampled probit latents; regression/init: y) so the
+            classification fast path (refresh_every > 1) can maintain
+            pred = e + latent without re-gathering P."""
             nchunk, C = statics["tr_ids"].shape[0], statics["tr_ids"].shape[1]
             ckeys = jax.random.split(key, nchunk)
 
@@ -1024,6 +1028,7 @@ class MCMCVectorLearner(MCMCLearner):
                     acc0 = acc0 + (err * err).sum()
                     acc1 = acc1 + cm.sum()
                     e = pred - cy
+                    latent = cy
                 else:
                     pp = samplers.cdf_gaussian(pred)
                     correct = ((pp >= 0.5) & (cy > 0.0)) | (
@@ -1048,9 +1053,9 @@ class MCMCVectorLearner(MCMCLearner):
                 # slot rows keep contributing exactly nothing
                 rows = rows * cm[:, None]
                 A = jax.lax.dynamic_update_slice(A, rows, (ci * C, 0))
-                return (A, acc0, acc1), None
+                return (A, acc0, acc1), latent * cm
 
-            (A, m0, m1), _ = jax.lax.scan(
+            (A, m0, m1), lat = jax.lax.scan(
                 chunk,
                 (A, jnp.zeros((), f), jnp.zeros((), f)),
                 (jnp.arange(nchunk, dtype=jnp.int32),
@@ -1061,7 +1066,7 @@ class MCMCVectorLearner(MCMCLearner):
             train_metric = (
                 jnp.sqrt(m0 / m1) if task == TASK_REGRESSION else m0 / m1
             )
-            return A, train_metric
+            return A, train_metric, lat
 
         # ---------------- block sweep ----------------
         def sweep_block(A, w, V, lay, alpha, w_mu_g, w_lambda_g, v_mu_g,
@@ -1298,8 +1303,18 @@ class MCMCVectorLearner(MCMCLearner):
                     e_slot, qp, h = _slot_hM(sc, sv, sf, A_src)
                     a = h[..., 0]  # [C, W] — x, or 0 when w is frozen
                     hq = h[..., 1:]  # [C, W, k] — x * qp
+                    # experiment knob (_stats_bf16): feed the PSD outer-
+                    # product accumulation to the MXU in bf16 with f32
+                    # accumulation (f32 matmuls run at a fraction of the
+                    # bf16 MXU rate). Default off; quality measured in
+                    # studies before any flip.
+                    hq_m = (
+                        hq.astype(jnp.bfloat16)
+                        if self._stats_bf16 and f == jnp.float32
+                        else hq
+                    )
                     Qq = jnp.einsum(
-                        "swi,swj->sij", hq, hq,
+                        "swi,swj->sij", hq_m, hq_m,
                         preferred_element_type=acc_t,
                     ).astype(f)
                     qa = jnp.einsum("swi,sw->si", hq, a)
@@ -1355,11 +1370,11 @@ class MCMCVectorLearner(MCMCLearner):
 
             # ---- dense path: batched d x d Cholesky draws over feature
             # chunks ([FC, d, d] linear-algebra temps stay bounded) ----
-            if Fd > 0 and "draw" in self._skip_phases:
+            if Fd > 0 and ({"draw", "dense"} & self._skip_phases):
                 # profiling: keep the stats pass alive (a draw-skip would
                 # otherwise dead-code-eliminate its only consumer)
                 n_rej = n_rej + jnp.isnan(jnp.sum(GG)).astype(jnp.int32)
-            if Fd > 0 and "draw" not in self._skip_phases:
+            if Fd > 0 and not ({"draw", "dense"} & self._skip_phases):
                 dfeats = lay.dense_feats
 
                 def _padF(x, fill=0.0):
@@ -1486,7 +1501,9 @@ class MCMCVectorLearner(MCMCLearner):
             # materialises. Exactness validated in tests against the
             # dense path. ----
             for b in (
-                lay.dual_buckets if "draw" not in self._skip_phases else []
+                lay.dual_buckets
+                if not ({"draw", "dual"} & self._skip_phases)
+                else []
             ):
                 nch = b.slot_case.shape[0]
                 key, kb_ = jax.random.split(key)
@@ -1776,11 +1793,12 @@ class MCMCVectorLearner(MCMCLearner):
 
             key = state["key"]
             key, kr = jax.random.split(key)
+            latent = state.get("latent")
             if refresh:
-                A, train_metric = refresh_A_and_train_metric(
+                A, train_metric, latent = refresh_A_and_train_metric(
                     state["w0"], P, kr, statics, state["A"]
                 )
-            else:
+            elif task == TASK_REGRESSION:
                 # regression fast path (refresh_every > 1): the sweeps
                 # maintain A = [e | Q] incrementally and exactly (up to
                 # float drift, killed by the periodic refresh); the
@@ -1796,6 +1814,51 @@ class MCMCVectorLearner(MCMCLearner):
                 err = (jnp.clip(pred_tr, min_t, max_t) - y_flat) * m_flat
                 cnt = jnp.maximum(m_flat.sum(), 1.0)
                 train_metric = jnp.sqrt((err * err).sum() / cnt)
+            else:
+                # classification fast path (refresh_every > 1): the
+                # probit latent resample needs only the CURRENT train
+                # predictions, and pred = e + latent is exact because
+                # the sweeps maintain e incrementally for the latents
+                # the draws conditioned on. Resample chunk-wise with the
+                # same [nchunk, C] key granularity as the full refresh,
+                # then fold the latent delta back into the e column:
+                # e' = pred - latent' = e + (latent - latent'). The full
+                # gather-refresh still runs every R-th iteration to
+                # clear float drift (same argument, and the same drift
+                # test pattern, as the regression fast path).
+                A = state["A"]
+                y_ch = statics["y_tr_ch"]          # [nchunk, C]
+                m_ch = statics["mask_tr_ch"]
+                nchunk, C = y_ch.shape
+                e_flat = jax.lax.dynamic_slice_in_dim(
+                    A[:, 0], 0, nchunk * C
+                )
+                pred_ch = e_flat.reshape(nchunk, C) + latent
+                pp = samplers.cdf_gaussian(pred_ch)
+                correct = ((pp >= 0.5) & (y_ch > 0.0)) | (
+                    (pp < 0.5) & (y_ch < 0.0)
+                )
+                cnt = jnp.maximum(m_ch.sum(), 1.0)
+                train_metric = (correct.astype(f) * m_ch).sum() / cnt
+                ckeys = jax.random.split(kr, nchunk)
+                if do_sample:
+                    lat_pos = jax.vmap(
+                        lambda ck_, p_: samplers.left_truncated_gaussian(
+                            ck_, 0.0, p_, 1.0
+                        )
+                    )(ckeys, pred_ch)
+                    lat_neg = jax.vmap(
+                        lambda ck_, p_: samplers.right_truncated_gaussian(
+                            ck_, 0.0, p_, 1.0
+                        )
+                    )(ckeys, pred_ch)
+                else:
+                    lat_pos = samplers.left_tn_expectation(pred_ch)
+                    lat_neg = samplers.right_tn_expectation(pred_ch)
+                lat_new = jnp.where(y_ch >= 0.0, lat_pos, lat_neg) * m_ch
+                e_new = (pred_ch - lat_new) * m_ch
+                A = A.at[: nchunk * C, 0].set(e_new.reshape(-1))
+                latent = lat_new
             if task == TASK_REGRESSION:
                 pred_this = pred_test
                 p_clamped = jnp.clip(pred_test, min_t, max_t)
@@ -1832,6 +1895,8 @@ class MCMCVectorLearner(MCMCLearner):
                 state, A=A, pred_this=pred_this, pred_sum_all=pred_sum_all,
                 pred_sum_all_but5=pred_sum_all_but5, key=key,
             )
+            if latent is not None:
+                new_state["latent"] = latent
             metrics = dict(
                 train=train_metric, this=m_this, all=m_all, but5=m_but5,
                 alpha=state["alpha"], rejected=state["rejected"],
@@ -1854,11 +1919,11 @@ class MCMCVectorLearner(MCMCLearner):
         @jax.jit
         def init_A(w0_0, w, V, key, statics):
             P0 = packed_params(w0_0, w, V)
-            A0, _ = refresh_A_and_train_metric(
+            A0, _, lat0 = refresh_A_and_train_metric(
                 w0_0, P0, key, statics,
                 jnp.zeros((A_rows, 1 + k), f), init=True,
             )
-            return A0
+            return A0, lat0
 
         nch, C_rows = tr_ids.shape[0], tr_ids.shape[1]
         y_tr_pad = np.zeros(nch * C_rows, dtype=np.float64)
@@ -1875,7 +1940,7 @@ class MCMCVectorLearner(MCMCLearner):
             unobserved=unobserved, valid=valid,
         )
         key, k_init = jax.random.split(key)
-        A0 = init_A(w0_init, w, V, k_init, statics)
+        A0, lat0 = init_A(w0_init, w, V, k_init, statics)
         state = dict(
             A=A0, w0=w0_init, w=w, V=V,
             alpha=jnp.asarray(1.0, f),
@@ -1886,6 +1951,10 @@ class MCMCVectorLearner(MCMCLearner):
             pred_sum_all_but5=jnp.zeros((nc_test,), f),
             key=key, rejected=jnp.zeros((), jnp.int32),
         )
+        if task != TASK_REGRESSION:
+            # probit latents (classification fast path; part of the
+            # sampler state, so checkpointed for exact resume)
+            state["latent"] = lat0
         # restore BEFORE the sharded device_put so a resumed run gets the
         # same sharding plan as a fresh one (restore yields host arrays)
         self.history = []
@@ -1912,8 +1981,7 @@ class MCMCVectorLearner(MCMCLearner):
             # the refresh-variant jit compile into the warm-up iteration
             # (benchmarks drop it) instead of a mid-run cadence hit
             refresh = (
-                task != TASK_REGRESSION
-                or R == 1
+                R == 1
                 or it == start_iter
                 or it % R == R - 1
                 or it == self.num_iter - 1

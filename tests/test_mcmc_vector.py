@@ -298,10 +298,10 @@ def test_als_default_refresh_drift_bound(ml_small):
     got = [h["test_this"] for h in b.history]
     want = [h["test_this"] for h in a.history]
     assert np.allclose(got, want, atol=1e-3), (got, want)
-    # regression sampling also defaults to the fast cadence (the sampled
-    # draws are inside the exact incremental updates; refresh is drift
-    # control either way — cadence parity tested above); classification
-    # keeps 1 (its refresh carries the probit latent resample)
+    # every task defaults to the fast cadence (round 4): the sampled
+    # draws are inside the exact incremental updates, and classification
+    # resamples its probit latents from pred = e + latent without the
+    # full re-predict; refresh is drift control either way
     assert (
         MCMCVectorLearner(cfg, num_iter=1, verbose=False).refresh_every
         == MCMCVectorLearner.ALS_DEFAULT_REFRESH
@@ -309,8 +309,37 @@ def test_als_default_refresh_drift_bound(ml_small):
     assert (
         MCMCVectorLearner(
             cfg, num_iter=1, verbose=False, task=TASK_CLASSIFICATION
-        ).refresh_every == 1
+        ).refresh_every == MCMCVectorLearner.ALS_DEFAULT_REFRESH
     )
+
+
+@pytest.mark.slow
+def test_classification_refresh_cadence_quality():
+    """The classification fast path (persistent probit latents, round 4)
+    must converge to the same quality as the every-iteration refresh.
+    Trajectories are NOT bit-equal (the every-iteration refresh
+    resamples from freshly recomputed predictions; the fast path from
+    the incrementally maintained e + latent — identical values up to
+    f32 drift, but the truncated-normal draw then amplifies ulp-level
+    differences into a different-but-equally-distributed chain), so
+    compare converged metrics, not steps."""
+    from libfm_tpu.data.synth import ctr_like
+
+    train, test, groups = ctr_like(
+        num_fields=5, field_cardinality=200, num_examples=15000, seed=4
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=8)
+    res = {}
+    for r in (1, 4):
+        l = MCMCVectorLearner(
+            cfg, task=TASK_CLASSIFICATION, num_iter=15, seed=3,
+            verbose=False, attr_group=groups, refresh_every=r,
+        )
+        l.learn(train, test)
+        res[r] = l.history[-1]
+    assert abs(res[1]["test_all"] - res[4]["test_all"]) < 1e-2, res
+    assert abs(res[1]["train"] - res[4]["train"]) < 1e-2, res
+    assert res[4]["rejected"] == 0
 
 
 def test_case_reorder_slab_stats_matches_unordered(ml_small):
