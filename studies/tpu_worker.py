@@ -45,6 +45,13 @@ while True:
     print(f"worker: running {job}", flush=True)
     tj = time.time()
     try:
+        # purge repo modules so each job sees CURRENT code (the worker
+        # process is long-lived; a cached libfm_tpu from an earlier job
+        # silently ignores edits — cost one stale 7-minute measurement
+        # in round 4)
+        for m in [m for m in sys.modules
+                  if m.split(".")[0] in ("libfm_tpu", "bench", "sgd_floor")]:
+            del sys.modules[m]
         src = open(path).read()
         g = {"__name__": "__main__", "__file__": path}
         old_argv = sys.argv
