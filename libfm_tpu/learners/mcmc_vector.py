@@ -1339,9 +1339,17 @@ class MCMCVectorLearner(MCMCLearner):
                         # (0.51 s/iter of the ML-10M headline).
                         # (self._stats_store == "slice" is the
                         # profiling-only override with WRONG results on
-                        # non-unique layouts.)
+                        # non-unique layouts; clamp the chunk so the
+                        # override also times layouts whose chunk row
+                        # count exceeds GG's — k=128 zipf blocks.)
+                        Gw, off = Gseg, sf2[0]
+                        if Gseg.shape[0] > GG.shape[0]:
+                            # override-only situation (real slice layouts
+                            # size GG to cover their chunks)
+                            Gw = Gseg[: GG.shape[0]]
+                            off = jnp.zeros_like(off)
                         GG = jax.lax.dynamic_update_slice(
-                            GG, Gseg, (sf2[0], 0)
+                            GG, Gw, (off, 0)
                         )
                     else:
                         GG = GG.at[sf2].add(Gseg, indices_are_sorted=True)
@@ -1895,7 +1903,12 @@ class MCMCVectorLearner(MCMCLearner):
                 state, A=A, pred_this=pred_this, pred_sum_all=pred_sum_all,
                 pred_sum_all_but5=pred_sum_all_but5, key=key,
             )
-            if latent is not None:
+            # classification only: regression must NOT gain a latent key
+            # mid-run — the state pytree would change at the first
+            # refresh and force fresh jit variants whose compiles land
+            # INSIDE the measured cycle (ALS 0.162 -> 0.226, headline
+            # 0.88 -> 29.7 s/iter before this guard — als_bisect.json)
+            if task != TASK_REGRESSION:
                 new_state["latent"] = latent
             metrics = dict(
                 train=train_metric, this=m_this, all=m_all, but5=m_but5,

@@ -52,6 +52,13 @@ while True:
         for m in [m for m in sys.modules
                   if m.split(".")[0] in ("libfm_tpu", "bench", "sgd_floor")]:
             del sys.modules[m]
+        # drop compiled-executable caches + their pinned HBM constants
+        # from previous jobs: leftover buffers drove the ML headline
+        # from 0.88 to 29.7 s/iter via HBM pressure (round-4 find)
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
         src = open(path).read()
         g = {"__name__": "__main__", "__file__": path}
         old_argv = sys.argv
