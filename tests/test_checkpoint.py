@@ -95,3 +95,44 @@ def test_cross_engine_checkpoint_starts_fresh(tmp_path, capsys):
     b.learn(train, test)  # must not raise
     assert len(b.history) == 2
     assert "starting fresh" in capsys.readouterr().out
+
+
+def test_classification_vector_resume_with_latent(tmp_path):
+    """Classification checkpoints carry the probit latent vector (round-4
+    fast path state); 4 + resume 4 must track the straight 8-iteration
+    chain. Not bit-exact: the resumed run's first iteration re-grounds
+    via a full refresh (start_iter gate) while the straight run may take
+    the fast path there — identical values up to f32 drift, so compare
+    with drift tolerance."""
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.learners.mcmc_vector import MCMCVectorLearner
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    train, test, groups = ctr_like(
+        num_fields=3, field_cardinality=40, num_examples=2500, seed=7
+    )
+    cfg = FMConfig(num_features=train.num_features, num_factors=3)
+    p = str(tmp_path / "cls.npz")
+
+    full = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=8, seed=5, verbose=False,
+        attr_group=groups, refresh_every=4,
+    )
+    full.learn(train, test)
+
+    a = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=4, seed=5, verbose=False,
+        attr_group=groups, refresh_every=4,
+        checkpoint_path=p, checkpoint_every=4,
+    )
+    a.learn(train, test)
+    b = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=8, seed=5, verbose=False,
+        attr_group=groups, refresh_every=4,
+        checkpoint_path=p, checkpoint_every=4,
+    )
+    b.learn(train, test)
+    assert [h["iter"] for h in b.history] == list(range(4, 8))
+    got = [h["test_this"] for h in b.history]
+    want = [h["test_this"] for h in full.history[4:]]
+    assert np.allclose(got, want, atol=5e-3), (got, want)
