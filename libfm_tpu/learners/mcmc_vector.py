@@ -1118,11 +1118,26 @@ class MCMCVectorLearner(MCMCLearner):
             # k=128 the joint [130, 130] outer product pads onto four
             # 128x128 MXU tiles (~26% utilization) and every row pads
             # 130 -> 256 lanes; the blocked layout keeps the heavy
-            # hq^T hq factor an exact single tile. Row layout
-            # [Qq(k*k) | qa(k) | qe(k) | aa | ae] with a = x (the w
+            # hq^T hq factor an exact single tile. Row layout (round 4:
+            # SYMMETRIC-packed — hq^T hq is exactly symmetric, entry
+            # (i,j) and (j,i) are the same products summed in the same
+            # order, so storing the upper triangle T = k(k+1)/2 is
+            # bit-lossless and halves every GG store/scatter byte):
+            # [Qq_tri(T) | qa(k) | qe(k) | aa | ae] with a = x (the w
             # column of H) and hq = x * qp; e^T e is never needed by the
             # draw and is dropped.
-            GW = k * k + 2 * k + 2
+            T = k * (k + 1) // 2
+            iu0_np, iu1_np = np.triu_indices(k)
+            iu0 = jnp.asarray(iu0_np, jnp.int32)
+            iu1 = jnp.asarray(iu1_np, jnp.int32)
+            sym_np = np.zeros((k, k), np.int32)
+            sym_np[iu0_np, iu1_np] = np.arange(T, dtype=np.int32)
+            sym_np[iu1_np, iu0_np] = sym_np[iu0_np, iu1_np]
+            sym_idx = jnp.asarray(sym_np.reshape(-1))
+            tri_idx = jnp.asarray(
+                (iu0_np * k + iu1_np).astype(np.int32)
+            )
+            GW = T + 2 * k + 2
             GG = jnp.zeros((Fd_pad, GW), f)
             if tp:
                 # per-feature stats live row-sharded over `model`; the
@@ -1169,22 +1184,14 @@ class MCMCVectorLearner(MCMCLearner):
                 )
                 iotaF = jnp.arange(Fd_pad, dtype=jnp.int32)
                 # The QQ moment is symmetric, so only the upper triangle
-                # (T = k(k+1)/2 columns) is accumulated — the mirror
-                # entries are the same commutative products summed in the
-                # same order, so unpacking is bit-identical to the full
-                # accumulation. One-hot blocks (x == 1 for every entry)
-                # additionally collapse Q2 == Q3 == Q and
+                # (T = k(k+1)/2 columns, hoisted above with GW) is
+                # accumulated — the mirror entries are the same
+                # commutative products summed in the same order, so the
+                # packing is bit-lossless. One-hot blocks (x == 1 for
+                # every entry) additionally collapse Q2 == Q3 == Q and
                 # m2 == m3 == m4 == count, mxe == m2e == sum(e): their
                 # moment row is [QQ_sym | Q | eQ | 1 | e]. Both cuts
                 # shrink the one-hot matmul's MW (its FLOP factor) ~2x.
-                T = k * (k + 1) // 2
-                iu0_np, iu1_np = np.triu_indices(k)
-                iu0 = jnp.asarray(iu0_np, jnp.int32)
-                iu1 = jnp.asarray(iu1_np, jnp.int32)
-                sym_np = np.zeros((k, k), np.int32)
-                sym_np[iu0_np, iu1_np] = np.arange(T, dtype=np.int32)
-                sym_np[iu1_np, iu0_np] = sym_np[iu0_np, iu1_np]
-                sym_idx = jnp.asarray(sym_np.reshape(-1))
                 oh_block = upv2 is None
                 MW = (T + 2 * k + 2) if oh_block else (T + 3 * k + 5)
                 MOM = jnp.zeros((Fd_pad, MW), f)
@@ -1249,7 +1256,7 @@ class MCMCVectorLearner(MCMCLearner):
                     theta_old[lay.dense_feats][:, 1:],
                     unique_indices=True,
                 )
-                M2 = MOM[:, :T][:, sym_idx]  # unpack symmetric [*, k*k]
+                M2 = MOM[:, :T]  # already symmetric-packed, as GG wants
                 if oh_block:
                     S2 = S3 = MOM[:, T : T + k]
                     SQe = MOM[:, T + k : T + 2 * k]
@@ -1264,15 +1271,12 @@ class MCMCVectorLearner(MCMCLearner):
                     m4 = MOM[:, -3]
                     mxe = MOM[:, -2]
                     m2e = MOM[:, -1]
-                vS3 = (
-                    vpadded[:, :, None] * S3[:, None, :]
-                ).reshape(Fd_pad, k * k)
-                S3v = (
-                    S3[:, :, None] * vpadded[:, None, :]
-                ).reshape(Fd_pad, k * k)
-                vv = (
-                    vpadded[:, :, None] * vpadded[:, None, :]
-                ).reshape(Fd_pad, k * k)
+                # packed (i, j) = (iu0, iu1) entries of v (x) S3 + S3 (x) v
+                # and v (x) v — same scalar ops as the old full-square
+                # form, just restricted to the stored triangle
+                vS3 = vpadded[:, iu0] * S3[:, iu1]
+                S3v = S3[:, iu0] * vpadded[:, iu1]
+                vv = vpadded[:, iu0] * vpadded[:, iu1]
                 Qq_r = M2 - vS3 - S3v + m4[:, None] * vv
                 qe_r = SQe - m2e[:, None] * vpadded
                 if use_linear:
@@ -1317,15 +1321,17 @@ class MCMCVectorLearner(MCMCLearner):
                         "swi,swj->sij", hq_m, hq_m,
                         preferred_element_type=acc_t,
                     ).astype(f)
+                    # pack the exactly-symmetric outer product to its
+                    # upper triangle (bit-lossless; halves the GG row)
+                    Qq_t = jnp.take(
+                        Qq.reshape(Qq.shape[0], -1), tri_idx, axis=1
+                    )
                     qa = jnp.einsum("swi,sw->si", hq, a)
                     qe = jnp.einsum("swi,sw->si", hq, e_slot)
                     aa = (a * a).sum(axis=1)
                     ae = (a * e_slot).sum(axis=1)
                     Gseg = jnp.concatenate(
-                        [
-                            Qq.reshape(Qq.shape[0], -1),
-                            qa, qe, aa[:, None], ae[:, None],
-                        ],
+                        [Qq_t, qa, qe, aa[:, None], ae[:, None]],
                         axis=-1,
                     )
                     # row scatter-add touches only this chunk's feature
@@ -1441,11 +1447,14 @@ class MCMCVectorLearner(MCMCLearner):
                             th_new,
                             jnp.sum(~ok[:, 0]).astype(jnp.int32),
                         )
-                    Qq = GGf[:, : k * k].reshape(FC, k, k)
-                    qa = GGf[:, k * k : k * k + k]
-                    qe = GGf[:, k * k + k : k * k + 2 * k]
-                    aa = GGf[:, k * k + 2 * k]
-                    ae = GGf[:, k * k + 2 * k + 1]
+                    # unpack the symmetric-packed triangle back to the
+                    # full [k, k] block the solves want ([FC, k*k]
+                    # lane-gather per chunk — tiny next to the Cholesky)
+                    Qq = GGf[:, :T][:, sym_idx].reshape(FC, k, k)
+                    qa = GGf[:, T : T + k]
+                    qe = GGf[:, T + k : T + 2 * k]
+                    aa = GGf[:, T + 2 * k]
+                    ae = GGf[:, T + 2 * k + 1]
                     th0, thv = thf[:, 0], thf[:, 1:]
                     lam0, lamv = lamf[:, 0], lamf[:, 1:]
                     # b = alpha * HtH theta - alpha * Hte + lam * mu
