@@ -95,13 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
         "-refresh_every",
         type=int,
         default=None,
-        help="vector MCMC/ALS regression: re-predict the train cache "
-        "every R-th iteration (1 = reference cadence; larger R skips "
-        "the numerically-redundant refresh). Default: 8 for every "
-        "regression run — sampled draws are part of the exact "
-        "incremental cache updates, so the refresh is float-drift "
-        "control either way (fm_learn_mcmc_simultaneous.h:123-124); "
-        "classification always refreshes (probit latent resample).",
+        help="vector MCMC/ALS: re-predict the train cache every R-th "
+        "iteration (1 = reference cadence; larger R skips the "
+        "numerically-redundant refresh). Default: 8 for every run — "
+        "sampled draws are part of the exact incremental cache "
+        "updates, so the refresh is float-drift control either way "
+        "(fm_learn_mcmc_simultaneous.h:123-124); classification "
+        "resamples its probit latents every iteration from the "
+        "incrementally maintained pred = e + latent.",
     )
     a(
         "-engine",

@@ -778,11 +778,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     lat_neg = samplers.right_tn_expectation(pred)
                 latent = jnp.where(cy >= 0.0, lat_pos, lat_neg)
                 e = pred - latent
+            if task == TASK_REGRESSION or init:
+                latent = cy
             rows = jnp.concatenate([e[:, None], Q], axis=1) * cm[:, None]
             A = jax.lax.dynamic_update_slice(A, rows, (ci * CU, 0))
-            return (A, acc0, acc1), None
+            return (A, acc0, acc1), latent * cm
 
-        (A, m0, m1), _ = jax.lax.scan(
+        (A, m0, m1), lat = jax.lax.scan(
             chunk,
             (A, jnp.zeros((), f), jnp.zeros((), f)),
             (
@@ -793,7 +795,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         )
         m1 = jnp.maximum(m1, 1.0)
         train_metric = jnp.sqrt(m0 / m1) if task == TASK_REGRESSION else m0 / m1
-        return A, train_metric
+        return A, train_metric, lat
 
     def predict_test(w0, w, V, S, scores=None):
         if "pred" in _skip:
@@ -1357,13 +1359,52 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                                  scores=scores)
         key = state["key"]
         key, kr = jax.random.split(key)
+        latent = state.get("latent")
         if "refresh" in _skip:
             A, train_metric = state["A"], jnp.zeros((), f)
         elif refresh:
-            A, train_metric = refresh_A_and_train_metric(
+            A, train_metric, latent = refresh_A_and_train_metric(
                 state["w0"], state["w"], state["V"], kr, S, state["A"],
                 scores=scores,
             )
+        elif task != TASK_REGRESSION:
+            # classification fast path (refresh_every > 1): same
+            # persistent-probit-latent scheme as the flat engine
+            # (mcmc_vector.py round 4) — pred = e + latent is exact up
+            # to drift because the sweeps' resync maintains e for the
+            # latents the draws conditioned on; resample elementwise,
+            # fold the delta into the e column.
+            A = state["A"]
+            y_ch = S["y_tr_ch"]
+            m_ch = S["mask_tr_ch"]
+            nchunk_, C_ = y_ch.shape
+            e_flat = jax.lax.dynamic_slice_in_dim(A[:, 0], 0, nchunk_ * C_)
+            pred_ch = e_flat.reshape(nchunk_, C_) + latent
+            pp = samplers.cdf_gaussian(pred_ch)
+            correct = ((pp >= 0.5) & (y_ch > 0.0)) | (
+                (pp < 0.5) & (y_ch < 0.0)
+            )
+            cnt = jnp.maximum(m_ch.sum(), 1.0)
+            train_metric = (correct.astype(f) * m_ch).sum() / cnt
+            ckeys = jax.random.split(kr, nchunk_)
+            if do_sample:
+                lat_pos = jax.vmap(
+                    lambda ck_, p_: samplers.left_truncated_gaussian(
+                        ck_, 0.0, p_, 1.0
+                    )
+                )(ckeys, pred_ch)
+                lat_neg = jax.vmap(
+                    lambda ck_, p_: samplers.right_truncated_gaussian(
+                        ck_, 0.0, p_, 1.0
+                    )
+                )(ckeys, pred_ch)
+            else:
+                lat_pos = samplers.left_tn_expectation(pred_ch)
+                lat_neg = samplers.right_tn_expectation(pred_ch)
+            lat_new = jnp.where(y_ch >= 0.0, lat_pos, lat_neg) * m_ch
+            e_new = (pred_ch - lat_new) * m_ch
+            A = A.at[: nchunk_ * C_, 0].set(e_new.reshape(-1))
+            latent = lat_new
         else:
             # regression fast path (refresh_every > 1): the sweeps'
             # resync pass maintains A = [e | Q] incrementally and
@@ -1419,6 +1460,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             state, A=A, pred_this=pred_this, pred_sum_all=pred_sum_all,
             pred_sum_all_but5=pred_sum_all_but5, key=key,
         )
+        # classification only: the regression state must never gain the
+        # latent key mid-run (state pytree stability — mcmc_vector.py)
+        if task != TASK_REGRESSION and latent is not None:
+            new_state["latent"] = latent
         metrics = dict(
             train=train_metric, this=m_this, all=m_all, but5=m_but5,
             alpha=state["alpha"], rejected=state["rejected"],
@@ -1432,14 +1477,14 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     # ---------------- init & loop ----------------
     @jax.jit
     def init_A(w0_0, w, V, key, S):
-        A0, _ = refresh_A_and_train_metric(
+        A0, _, lat0 = refresh_A_and_train_metric(
             w0_0, w, V, key, S,
             jnp.zeros((A_rows, 1 + k), f), init=True,
         )
-        return A0
+        return A0, lat0
 
     key, k_init = jax.random.split(key)
-    A0 = init_A(w0_init, w, V, k_init, statics)
+    A0, lat0 = init_A(w0_init, w, V, k_init, statics)
     state = dict(
         A=A0, w0=w0_init, w=w, V=V,
         alpha=jnp.asarray(1.0, f),
@@ -1450,6 +1495,9 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         pred_sum_all_but5=jnp.zeros((nc_test,), f),
         key=key, rejected=jnp.zeros((), jnp.int32),
     )
+    if task != TASK_REGRESSION:
+        # probit latents (classification fast path; checkpointed state)
+        state["latent"] = lat0
 
     learner.history = []
     start_iter = 0
@@ -1463,13 +1511,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         state["V"] = jax.device_put(state["V"], sh_model2)
     R = max(1, int(getattr(learner, "refresh_every", 1)))
     for it in range(start_iter, learner.num_iter):
-        # same cadence as the flat engine (mcmc_vector.py): regression
-        # skips the drift-control refresh between cadence points; the
-        # first iteration after a (re)start always refreshes so both
-        # jit variants compile in the warm-up window
+        # same cadence as the flat engine (mcmc_vector.py): the
+        # drift-control refresh runs only at cadence points — both
+        # tasks (classification resamples its probit latents on the
+        # fast path); the first iteration after a (re)start always
+        # refreshes so both jit variants compile in the warm-up window
         refresh = (
-            task != TASK_REGRESSION
-            or R == 1
+            R == 1
             or it == start_iter
             or it % R == R - 1
             or it == learner.num_iter - 1
