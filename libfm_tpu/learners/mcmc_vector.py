@@ -209,6 +209,9 @@ class MCMCVectorLearner(MCMCLearner):
         # experiment: bf16 inputs (f32 accumulate) for the slot-path
         # stats outer products — see the einsum site for the rationale
         self._stats_bf16 = False
+        # slots gathered per scan step (chunking of the slot/dual
+        # passes); experiments only
+        self._slot_budget = 1 << 18
         # profiling-only: "slice" replaces the stats GG scatter with a
         # contiguous write (wrong results, real timings)
         self._stats_store = "scatter"
@@ -538,8 +541,11 @@ class MCMCVectorLearner(MCMCLearner):
 
         # Segments are processed under lax.scan in chunks of C segments
         # so the per-step HBM temps (gathered slots, per-segment stats)
-        # stay bounded regardless of dataset size.
-        SLOT_BUDGET = 1 << 18  # slots gathered per scan step
+        # stay bounded regardless of dataset size. Tunable (experiments
+        # only — the default is the measured optimum): bigger chunks
+        # mean fewer sequential lane-Cholesky scan steps in the dual
+        # pass at the cost of bigger [C, W, d] gather temps.
+        SLOT_BUDGET = self._slot_budget
         SEG_BUDGET = 8192  # segments per step (bounds the [C, d+1, d+1] temp)
 
         def _put_bucket(b, sf2, pad_sf, pad_sf2=0, slice_store=False):
