@@ -178,7 +178,7 @@ def main(argv=None) -> int:
     # the design matrix exceeds the host budget (the reference's
     # LargeSparseMatrixHD role, /root/reference/src/util/fmatrix.h:165-281)
     stream_train = None
-    if args.cache_size and method == "sgd":
+    if args.cache_size and method in ("sgd", "sgda"):
         import os as _os
 
         xp, yp = args.train + ".x", args.train + ".y"
@@ -226,7 +226,8 @@ def main(argv=None) -> int:
             )
     elif args.cache_size:
         print(
-            "WARNING: -cache_size streaming applies to SGD and MCMC/ALS."
+            "WARNING: -cache_size streaming applies to SGD, SGDA, and "
+            "MCMC/ALS."
         )
 
     # relations force the main table resident (the BS engines join
@@ -524,9 +525,14 @@ def main(argv=None) -> int:
             rlog.init()
         _verbosity_dump()
         with maybe_profile():
-            learner.learn(train, test, validation)
+            if stream_train is not None:
+                learner.learn_stream(stream_train, test, validation)
+            else:
+                learner.learn(train, test, validation)
         hist = getattr(learner, "history", None)
-        if hist:
+        if stream_train is not None and hist:
+            print(f"Final\tTest={hist[-1][1]:.6g}")
+        elif hist:
             print(f"Final\tTrain={hist[-1][0]:.6g}\tTest={hist[-1][1]:.6g}")
         else:
             print(

@@ -58,55 +58,23 @@ class SGDALearner(SGDLearner):
         super()._register_log_fields()
         self.rlog.add_field("rmse_val", float("nan"))
 
-    def learn(self, train: Dataset, test: Dataset, validation: Dataset = None):
-        if train.relations or getattr(test, "relations", None) or (
-            validation is not None and getattr(validation, "relations", None)
-        ):
-            raise ValueError(
-                "relations are not supported with SGD"
-            )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
-        if validation is None:
-            raise ValueError("SGDA requires a validation set")
-        from libfm_tpu.learners import base
-
-        base.check_num_features(self.cfg, train, test, validation)
-        if self.params is None:
-            self.init_params()
-        # reference resets w and regs at learn() start (adapt_reg.h:281-289)
-        self.params = FMParams(
-            w0=self.params.w0, w=jnp.zeros_like(self.params.w), v=self.params.v
-        )
-        self.min_target = train.min_target
-        self.max_target = train.max_target
+    def _make_steps(self, lr, min_t, max_t):
+        """(theta_step, lambda_step) shared by learn / learn_stream.
+        Pure per-batch functions of (params, grads, regs, batch) — the
+        exact adapt_reg.h math, batched."""
         cfg, f = self.cfg, self.cfg.dtype
         G, k, n = self.num_groups, cfg.num_factors, cfg.num_features
-
-        tb = batch_dataset(train, self.batch_size)
-        vb = batch_dataset(validation, self.batch_size)
-        eb = batch_dataset(test, self.batch_size)
-        t_arrs, v_arrs, e_arrs = map(_device_arrays, (tb, vb, eb))
         attr_group = jnp.asarray(self.attr_group_np)
-        lr = jnp.asarray(self.lrs[0], dtype=f)
-        min_t, max_t = self.min_target, self.max_target
         task = self.task
-
-        reg_w = jnp.zeros((G,), f)
-        reg_v = jnp.zeros((G, k), f)
-        # one dummy row (index n) absorbs the padded slots' scatter
-        # writes — the reference caches gradients only at real entries
-        # (adapt_reg.h:150-168); letting padding overwrite grad[0] with
-        # zeros would corrupt feature 0's look-ahead
-        grad_w = jnp.zeros((n + 1,), f)
-        grad_v = jnp.zeros((n + 1, k), f)
-
-        nb_t, nb_v = tb.num_batches, vb.num_batches
 
         def theta_step(params, grads, regs, batch):
             ids, vals, y, rmask = batch
             reg_w, reg_v = regs
             grad_w, grad_v = grads
             pred, vsum = fm_batch_terms(params, ids, vals, cfg)
-            mult = jnp.where(rmask, sgda_multiplier(pred, y, task, min_t, max_t), 0.0)
+            mult = jnp.where(
+                rmask, sgda_multiplier(pred, y, task, min_t, max_t), 0.0
+            )
             emask = (vals != 0.0).astype(f)
             g = attr_group[ids]  # [B, L]
             # padded slots (id 0, val 0) scatter into the dummy row n
@@ -156,7 +124,9 @@ class SGDALearner(SGDLearner):
 
             vx_d = v_dash * vals[..., None]
             sum_f_dash = vx_d.sum(axis=1)  # [B, k]
-            p = 0.5 * ((sum_f_dash**2).sum(axis=1) - (vx_d**2).sum(axis=(1, 2)))
+            p = 0.5 * (
+                (sum_f_dash**2).sum(axis=1) - (vx_d**2).sum(axis=(1, 2))
+            )
             if cfg.use_bias:
                 p = p + params.w0
             if cfg.use_linear:
@@ -196,9 +166,57 @@ class SGDALearner(SGDLearner):
             lam_v_grad = -2.0 * lr * (
                 sum_f_dash[:, None, :] * sum_f_g - sum_fdf_g
             )  # [B, G, k]
-            reg_v = reg_v - lr * (grad_loss[:, None, None] * lam_v_grad).sum(axis=0)
+            reg_v = reg_v - lr * (
+                grad_loss[:, None, None] * lam_v_grad
+            ).sum(axis=0)
             reg_v = jnp.maximum(reg_v, 0.0)
             return (reg_w, reg_v)
+
+        return theta_step, lambda_step
+
+    def learn(self, train: Dataset, test: Dataset, validation: Dataset = None):
+        if train.relations or getattr(test, "relations", None) or (
+            validation is not None and getattr(validation, "relations", None)
+        ):
+            raise ValueError(
+                "relations are not supported with SGD"
+            )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
+        if validation is None:
+            raise ValueError("SGDA requires a validation set")
+        from libfm_tpu.learners import base
+
+        base.check_num_features(self.cfg, train, test, validation)
+        if self.params is None:
+            self.init_params()
+        # reference resets w and regs at learn() start (adapt_reg.h:281-289)
+        self.params = FMParams(
+            w0=self.params.w0, w=jnp.zeros_like(self.params.w), v=self.params.v
+        )
+        self.min_target = train.min_target
+        self.max_target = train.max_target
+        cfg, f = self.cfg, self.cfg.dtype
+        G, k, n = self.num_groups, cfg.num_factors, cfg.num_features
+
+        tb = batch_dataset(train, self.batch_size)
+        vb = batch_dataset(validation, self.batch_size)
+        eb = batch_dataset(test, self.batch_size)
+        t_arrs, v_arrs, e_arrs = map(_device_arrays, (tb, vb, eb))
+        attr_group = jnp.asarray(self.attr_group_np)
+        lr = jnp.asarray(self.lrs[0], dtype=f)
+        min_t, max_t = self.min_target, self.max_target
+        task = self.task
+
+        reg_w = jnp.zeros((G,), f)
+        reg_v = jnp.zeros((G, k), f)
+        # one dummy row (index n) absorbs the padded slots' scatter
+        # writes — the reference caches gradients only at real entries
+        # (adapt_reg.h:150-168); letting padding overwrite grad[0] with
+        # zeros would corrupt feature 0's look-ahead
+        grad_w = jnp.zeros((n + 1,), f)
+        grad_v = jnp.zeros((n + 1, k), f)
+
+        nb_t, nb_v = tb.num_batches, vb.num_batches
+        theta_step, lambda_step = self._make_steps(lr, min_t, max_t)
 
         @jax.jit
         def epoch(params, grads, regs, t_arrs, v_arrs, do_lambda):
@@ -249,5 +267,110 @@ class SGDALearner(SGDLearner):
                 self.rlog.log("time_pred", c2[0] - c1[0])
                 self.rlog.new_line()
         self.reg_w, self.reg_v = reg_w, reg_v
+        self.history = history
+        return history
+
+    def learn_stream(self, stream, test: Dataset, validation: Dataset = None,
+                     max_nnz: int | None = None):
+        """Out-of-core SGDA: the TRAIN set streams from a binary .x/.y
+        pair with bounded host memory (the reference trains any learner
+        straight from the LargeSparseMatrixHD cache,
+        /root/reference/src/util/fmatrix.h:165-281); the validation and
+        test sets stay resident (validation is read once per train
+        batch for the lambda step — streaming it would re-read the
+        whole file every epoch for no memory win at typical
+        validation sizes). Interleaves one lambda step per train batch,
+        skipping iteration 0 (adapt_reg.h:294-311)."""
+        if validation is None:
+            raise ValueError("SGDA requires a validation set")
+        if getattr(test, "relations", None) or getattr(
+            validation, "relations", None
+        ):
+            raise ValueError(
+                "relations are not supported with SGD"
+            )  # parity: /root/reference/src/libfm/src/fm_learn_sgd.h:61-63
+        if max_nnz is None:
+            max_nnz = max(stream.max_row_nnz(), 1)
+        from libfm_tpu.learners import base
+
+        base.check_num_features(self.cfg, stream, test, validation)
+        if self.params is None:
+            self.init_params()
+        # reference resets w and regs at learn() start (adapt_reg.h:281-289)
+        self.params = FMParams(
+            w0=self.params.w0, w=jnp.zeros_like(self.params.w),
+            v=self.params.v,
+        )
+        self.min_target = stream.min_target
+        self.max_target = stream.max_target
+        f = self.cfg.dtype
+        G, k, n = self.num_groups, self.cfg.num_factors, self.cfg.num_features
+
+        vb = batch_dataset(validation, self.batch_size)
+        eb = batch_dataset(test, self.batch_size)
+        v_arrs, e_arrs = map(_device_arrays, (vb, eb))
+        nb_v = vb.num_batches
+        lr = jnp.asarray(self.lrs[0], dtype=f)
+        min_t, max_t = self.min_target, self.max_target
+        theta_step, lambda_step = self._make_steps(lr, min_t, max_t)
+
+        @jax.jit
+        def step(params, grads, regs, tbatch, vbatch, do_lambda):
+            params, grads = theta_step(params, grads, regs, tbatch)
+            regs = jax.lax.cond(
+                do_lambda,
+                lambda r: lambda_step(params, grads, r, vbatch),
+                lambda r: r,
+                regs,
+            )
+            return params, grads, regs
+
+        grads = (jnp.zeros((n + 1,), f), jnp.zeros((n + 1, k), f))
+        regs = (jnp.zeros((G,), f), jnp.zeros((G, k), f))
+        history = []
+        for it in range(self.num_iter):
+            c0 = iter_clocks()
+            bi = 0
+            for ids, vals, y, m in stream.iter_batches(
+                self.batch_size, max_nnz
+            ):
+                vbatch = tuple(a[bi % nb_v] for a in v_arrs)
+                self.params, grads, regs = step(
+                    self.params, grads, regs,
+                    (jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(y),
+                     jnp.asarray(m)),
+                    vbatch, jnp.asarray(it > 0),
+                )
+                bi += 1
+            jax.block_until_ready(self.params.v)
+            c1 = iter_clocks()
+            dt = c1[2] - c0[2]
+            if it == 0 and stream.truncated_rows:
+                import warnings
+
+                warnings.warn(
+                    f"learn_stream: max_nnz={max_nnz} truncated "
+                    f"{stream.truncated_rows} rows; pass max_nnz=None "
+                    "for the lossless default",
+                    stacklevel=2,
+                )
+            m_val = self._eval(self.params, *v_arrs, min_t, max_t)
+            m_test = self._eval(self.params, *e_arrs, min_t, max_t)
+            te, vl = float(m_test[0]), float(m_val[0])
+            c2 = iter_clocks()
+            history.append((float("nan"), te, vl, dt))
+            if self.verbose:
+                print(f"#Iter={it:3d}\tTest={te:.6g}")
+            if self.rlog is not None:
+                if self.task == TASK_REGRESSION:
+                    self.rlog.log("rmse", te)
+                else:
+                    self.rlog.log("accuracy", te)
+                self.rlog.log("rmse_val", vl)
+                self.rlog.log("time_learn", c1[0] - c0[0])
+                self.rlog.log("time_learn4", dt)
+                self.rlog.log("time_pred", c2[0] - c1[0])
+                self.rlog.new_line()
+        self.reg_w, self.reg_v = regs
         self.history = history
         return history

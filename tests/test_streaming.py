@@ -88,6 +88,37 @@ def test_streaming_max_row_nnz_and_truncation(tmp_path):
     assert any("truncated" in str(w.message) for w in rec)
 
 
+def test_streaming_sgda_matches_inmemory(tmp_path):
+    """Out-of-core SGDA (round 4): streamed train + resident validation
+    must track the resident run — identical batch order, theta/lambda
+    interleave, and grad caches."""
+    from libfm_tpu.learners.sgda import SGDALearner
+
+    train, test = movielens_like(
+        num_users=60, num_items=50, num_ratings=4000, seed=3
+    )
+    val, _ = movielens_like(
+        num_users=60, num_items=50, num_ratings=900, seed=9
+    )
+    xp, yp = _write_pair(train, tmp_path, "sa")
+    cfg = FMConfig(num_features=train.num_features, num_factors=4)
+    kwargs = dict(num_iter=3, learn_rate=0.01, batch_size=128, seed=1,
+                  verbose=False)
+
+    mem = SGDALearner(cfg, **kwargs)
+    h_mem = mem.learn(train, test, val)
+
+    stream = streaming.StreamingDataset(xp, yp, entry_budget=1000)
+    st = SGDALearner(cfg, **kwargs)
+    h_st = st.learn_stream(stream, test, val, max_nnz=8)
+
+    assert abs(h_mem[-1][1] - h_st[-1][1]) < 1e-4, (h_mem[-1], h_st[-1])
+    # the adapted regularizers must track too
+    assert np.allclose(
+        np.asarray(mem.reg_v), np.asarray(st.reg_v), atol=1e-4
+    )
+
+
 # ------------------------------------------- streaming MCMC/ALS layout
 
 
