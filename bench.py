@@ -65,14 +65,26 @@ def _median_iter_s(learner):
 
 def _cycle_iter_s(learner):
     """Amortized s/iter for refresh-cadence learners: the MEAN over
-    history[2:]. With refresh_every=R the median would report only the
+    history[2R:]. With refresh_every=R the median would report only the
     fast non-refresh iterations, so the mean charges the periodic
     re-predict honestly (slightly conservatively: the final iteration
-    always refreshes). The first two iterations carry the two jit
-    variants' compiles (iteration 0 always refreshes by design) and are
-    dropped; callers size num_iter to cover at least one full refresh
-    cycle past them."""
-    return float(np.mean([h["time"] for h in learner.history[2:]]))
+    always refreshes). Under chunked dispatch (mcmc.dispatch_chunks)
+    the jit variants compile inside the first three chunks — iteration
+    0 (refresh-only), iterations 1..R-1 (the scan-of-R-1 variant), and
+    iterations R..2R-1 (the scan-of-R variant, when distinct) — so the
+    first 2R entries are warm-up and dropped; callers size num_iter to
+    a multiple of R covering >= 1 clean cycle past them (_cycle_iters)."""
+    R = max(1, int(getattr(learner, "refresh_every", 1)))
+    drop = max(2, 2 * R)
+    return float(np.mean([h["time"] for h in learner.history[drop:]]))
+
+
+def _cycle_iters(args, learner, min_cycles=3):
+    """num_iter for cycle-benched workloads: a multiple of R, at least
+    min_cycles cycles (2 warm-up + >=1 measured), honoring --iters."""
+    R = max(1, int(getattr(learner, "refresh_every", 1)))
+    want = max(args.iters + 1, min_cycles * R)
+    return ((want + R - 1) // R) * R
 
 
 def bench_sgd(args):
@@ -130,10 +142,9 @@ def bench_als(args):
         num_ratings=min(args.ratings, 1_000_000), seed=1,
     )
     cfg = FMConfig(num_features=train.num_features, num_factors=32)
-    learner = ALSVectorLearner(cfg, num_iter=2, seed=1, verbose=False)
-    n_iter = max(args.iters + 1, 2 * learner.refresh_every + 2)
+    probe = ALSVectorLearner(cfg, num_iter=2, seed=1, verbose=False)
     learner = ALSVectorLearner(
-        cfg, num_iter=n_iter, seed=1, verbose=False,
+        cfg, num_iter=_cycle_iters(args, probe), seed=1, verbose=False,
     )
     learner.set_regularization([0.0, 0.0, 10.0], 1)
     t0 = time.time()
@@ -187,9 +198,8 @@ def bench_ml(args):
     train, test = _ml_data(args)
     cfg = FMConfig(num_features=train.num_features, num_factors=args.factors)
     probe = MCMCVectorLearner(cfg, num_iter=2, seed=1, verbose=False)
-    n_iter = max(args.iters + 1, 2 * probe.refresh_every + 2)
     learner = MCMCVectorLearner(
-        cfg, num_iter=n_iter, seed=1, verbose=True
+        cfg, num_iter=_cycle_iters(args, probe), seed=1, verbose=True
     )
     print("data ready; starting learn", file=sys.stderr, flush=True)
     t0 = time.time()
@@ -230,13 +240,16 @@ def bench_ctr(args):
         num_fields=13, field_cardinality=5000, num_examples=n_ex, seed=1
     )
     cfg = FMConfig(num_features=train.num_features, num_factors=16)
+    probe = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=2, seed=1, verbose=False
+    )
     learner = MCMCVectorLearner(
-        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1, seed=1,
-        verbose=True, attr_group=groups,
+        cfg, task=TASK_CLASSIFICATION, num_iter=_cycle_iters(args, probe),
+        seed=1, verbose=True, attr_group=groups,
     )
     t0 = time.time()
     learner.learn(train, test)
-    dt = _median_iter_s(learner)
+    dt = _cycle_iter_s(learner)
     ex_s = train.num_rows / dt
     return {
         "metric": "mcmc_ctr_k16_classification_examples_per_s_per_chip",
@@ -244,7 +257,8 @@ def bench_ctr(args):
         "unit": "examples/s",
         "vs_baseline": round(ex_s / BASELINE_CTR_EXAMPLES_PER_S, 2),
         "detail": {
-            "median_iter_s": round(dt, 4),
+            "cycle_mean_iter_s": round(dt, 4),
+            "refresh_every": learner.refresh_every,
             "test_acc_mcmc_all": round(
                 float(learner.history[-1]["test_all"]), 4
             ),
@@ -323,13 +337,16 @@ def bench_largevocab(args):
         num_fields=26, field_cardinality=40_000, num_examples=n_ex, seed=1
     )
     cfg = FMConfig(num_features=train.num_features, num_factors=128)
+    probe = MCMCVectorLearner(
+        cfg, task=TASK_CLASSIFICATION, num_iter=2, seed=1, verbose=False
+    )
     learner = MCMCVectorLearner(
-        cfg, task=TASK_CLASSIFICATION, num_iter=args.iters + 1, seed=1,
-        verbose=True, attr_group=groups,
+        cfg, task=TASK_CLASSIFICATION, num_iter=_cycle_iters(args, probe),
+        seed=1, verbose=True, attr_group=groups,
     )
     t0 = time.time()
     learner.learn(train, test)
-    dt = _median_iter_s(learner)
+    dt = _cycle_iter_s(learner)
     if LV_BASELINE_S_PER_ITER is not None:
         vs = round(LV_BASELINE_S_PER_ITER / dt, 2)
         base_note = {"reference_s_per_iter": LV_BASELINE_S_PER_ITER}
@@ -399,9 +416,8 @@ def bench_bs(args):
 
     cfg = FMConfig(num_features=NF, num_factors=32)
     probe = MCMCVectorLearner(cfg, num_iter=2, seed=1, verbose=False)
-    n_iter = max(args.iters + 1, 2 * probe.refresh_every + 2)
     learner = MCMCVectorLearner(
-        cfg, num_iter=n_iter, seed=1, verbose=True
+        cfg, num_iter=_cycle_iters(args, probe), seed=1, verbose=True
     )
     learner.expand_max_ratio = 0.0  # this shape expands ~15x; force BS form
     t0 = time.time()

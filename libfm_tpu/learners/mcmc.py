@@ -402,6 +402,36 @@ def draw_theta_hyperpriors(
     return lam_new, mu_new, rej1 + rej2
 
 
+def dispatch_chunks(start, num_iter, refresh_every, ckpt_every=0):
+    """Split iterations [start, num_iter) into dispatch chunks whose
+    LAST iteration is a refresh point under the engine cadence
+    (refresh iff R==1, it==start, it % R == R-1, or it==num_iter-1 —
+    the same rule the per-iteration loops used, so trajectories are
+    unchanged). One chunk = ONE jit dispatch: a lax.scan over the fast
+    steps followed by the refresh step. Rationale: on this
+    environment's tunneled TPU a single jit dispatch costs ~28 ms of
+    host round-trip REGARDLESS of async dispatch (measured:
+    studies/results/asyncdisp_r5.json — fire-and-forget and lag-2
+    pipelining both stay at ~28 ms/call; only batching steps into one
+    dispatch amortizes it). Checkpoint boundaries also close chunks so
+    saves always see host-materialisable state at the cadence the
+    per-iteration loop honoured ((it+1) % ckpt_every == 0)."""
+    R = max(1, int(refresh_every))
+    chunks = []
+    i0 = start
+    for it in range(start, num_iter):
+        if (
+            R == 1
+            or it == start
+            or it % R == R - 1
+            or it == num_iter - 1
+            or (ckpt_every and (it + 1) % ckpt_every == 0)
+        ):
+            chunks.append((i0, it - i0 + 1))
+            i0 = it + 1
+    return chunks
+
+
 # --------------------------------------------------------------------------
 # The learner
 # --------------------------------------------------------------------------

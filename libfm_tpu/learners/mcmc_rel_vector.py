@@ -1349,8 +1349,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-    def iteration(state, it, S, refresh=True):
+    def one_step(state, it, S, refresh=True):
         state = draw_all(state, S)
         # one set of per-relation block scores serves both the test
         # prediction and the train refresh (same w, V)
@@ -1474,6 +1473,26 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             metrics["auc"] = _masked_auc(pred_sum_all, y_test, S["eval_mask"])
         return new_state, metrics
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state, its, S):
+        """One dispatch per chunk: scan the fast steps, then the refresh
+        step (its[-1] is a refresh point — mcmc.dispatch_chunks). The
+        ~28 ms per-dispatch tunnel round-trip amortizes over the chunk
+        (studies/results/asyncdisp_r5.json); per-step metrics return
+        stacked [L, …]."""
+        L = its.shape[0]
+        if L > 1:
+            state, ms = jax.lax.scan(
+                lambda st, it_: one_step(st, it_, S, False), state, its[:-1]
+            )
+        state, m_last = one_step(state, its[-1], S, True)
+        if L > 1:
+            return state, jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                ms, m_last,
+            )
+        return state, jax.tree.map(lambda b: b[None], m_last)
+
     # ---------------- init & loop ----------------
     @jax.jit
     def init_A(w0_0, w, V, key, S):
@@ -1509,32 +1528,40 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         state["A"] = jax.device_put(state["A"], sh_A)
         state["w"] = jax.device_put(state["w"], sh_model1)
         state["V"] = jax.device_put(state["V"], sh_model2)
-    R = max(1, int(getattr(learner, "refresh_every", 1)))
-    for it in range(start_iter, learner.num_iter):
-        # same cadence as the flat engine (mcmc_vector.py): the
-        # drift-control refresh runs only at cadence points — both
-        # tasks (classification resamples its probit latents on the
-        # fast path); the first iteration after a (re)start always
-        # refreshes so both jit variants compile in the warm-up window
-        refresh = (
-            R == 1
-            or it == start_iter
-            or it % R == R - 1
-            or it == learner.num_iter - 1
-        )
+    # same cadence as the flat engine (mcmc_vector.py): chunked
+    # dispatch whose last step is a refresh point — the drift-control
+    # refresh runs only at cadence points, and the first iteration
+    # after a (re)start is its own single-step chunk (compiles land in
+    # the warm-up window, a restored A re-grounds immediately)
+    from libfm_tpu.learners.mcmc import dispatch_chunks
+
+    ckpt_every = (
+        learner.checkpoint_every
+        if (learner.checkpoint_path and learner.checkpoint_every)
+        else 0
+    )
+    for i0, L in dispatch_chunks(
+        start_iter, learner.num_iter,
+        getattr(learner, "refresh_every", 1), ckpt_every,
+    ):
+        its = jnp.arange(i0, i0 + L, dtype=jnp.float32)
         c0 = iter_clocks()
-        state, metrics = iteration(
-            state, jnp.asarray(it, dtype=jnp.float32), statics, refresh
-        )
+        state, ms = run_chunk(state, its, statics)
         jax.block_until_ready(state["A"])
         c1 = iter_clocks()
-        learner._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))
-        if (
-            learner.checkpoint_path
-            and learner.checkpoint_every
-            and (it + 1) % learner.checkpoint_every == 0
-        ):
-            learner._save_checkpoint(state, it + 1)
+        per = tuple((b - a) / L for a, b in zip(c0, c1))
+        need = {"train", "this", "all", "but5", "alpha", "rejected", "auc"}
+        if learner.rlog is not None:
+            need |= {"w_mu", "w_lambda", "v_mu", "v_lambda"}
+        ms_host = jax.device_get(
+            {k_: v_ for k_, v_ in ms.items() if k_ in need}
+        )
+        for j in range(L):
+            learner._log_iteration(
+                i0 + j, jax.tree.map(lambda x: x[j], ms_host), per
+            )
+        if ckpt_every and (i0 + L) % ckpt_every == 0:
+            learner._save_checkpoint(state, i0 + L)
 
     # keep the parameter-table state for introspection but NOT the big
     # per-case A table (see mcmc_vector.py) — record its sharding evidence

@@ -1895,8 +1895,7 @@ class MCMCVectorLearner(MCMCLearner):
                 key=key, rejected=rej,
             )
 
-        @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-        def iteration(state, it, statics, refresh=True):
+        def one_step(state, it, statics, refresh=True):
             y_test = statics["y_test"]
             eval_mask = statics["eval_mask"]
             state = draw_all(state, statics)
@@ -2029,6 +2028,27 @@ class MCMCVectorLearner(MCMCLearner):
                 metrics["auc"] = _masked_auc(pred_sum_all, y_test, eval_mask)
             return new_state, metrics
 
+        @partial(jax.jit, donate_argnums=(0,))
+        def run_chunk(state, its, statics):
+            """One dispatch: lax.scan over the chunk's fast steps, then
+            the refresh step (its[-1] is always a refresh point —
+            dispatch_chunks). Per-step metrics come back stacked [L,…];
+            the ~28 ms tunnel round-trip per dispatch amortizes over L
+            (see mcmc.dispatch_chunks)."""
+            L = its.shape[0]
+            if L > 1:
+                state, ms = jax.lax.scan(
+                    lambda st, it_: one_step(st, it_, statics, False),
+                    state, its[:-1],
+                )
+            state, m_last = one_step(state, its[-1], statics, True)
+            if L > 1:
+                return state, jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                    ms, m_last,
+                )
+            return state, jax.tree.map(lambda b: b[None], m_last)
+
         # ---------------- init & loop ----------------
         A_rows = nc_train + SLOT_BUDGET
         if mesh is not None:
@@ -2094,31 +2114,42 @@ class MCMCVectorLearner(MCMCLearner):
         # big static arrays go through the jit boundary as ARGUMENTS —
         # closing over them would bake them into the HLO as constants
         # (minutes of compile time + a duplicate HBM copy)
-        R = max(1, int(self.refresh_every))
-        for it in range(start_iter, self.num_iter):
-            # the first iteration after a (re)start always refreshes:
-            # numerically it re-grounds a restored A, and it front-loads
-            # the refresh-variant jit compile into the warm-up iteration
-            # (benchmarks drop it) instead of a mid-run cadence hit
-            refresh = (
-                R == 1
-                or it == start_iter
-                or it % R == R - 1
-                or it == self.num_iter - 1
-            )
+        from libfm_tpu.learners.mcmc import dispatch_chunks
+
+        ckpt_every = (
+            self.checkpoint_every
+            if (self.checkpoint_path and self.checkpoint_every)
+            else 0
+        )
+        # the first iteration after a (re)start always refreshes
+        # (single-step first chunk): numerically it re-grounds a
+        # restored A, and it front-loads the refresh-step jit compile
+        # into the warm-up window instead of a mid-run cadence hit
+        for i0, L in dispatch_chunks(
+            start_iter, self.num_iter, self.refresh_every, ckpt_every
+        ):
+            its = jnp.arange(i0, i0 + L, dtype=jnp.float32)
             c0 = iter_clocks()
-            state, metrics = iteration(
-                state, jnp.asarray(it, dtype=jnp.float32), statics, refresh
-            )
+            state, ms = run_chunk(state, its, statics)
             jax.block_until_ready(state["A"])
             c1 = iter_clocks()
-            self._log_iteration(it, metrics, tuple(b - a for a, b in zip(c0, c1)))
-            if (
-                self.checkpoint_path
-                and self.checkpoint_every
-                and (it + 1) % self.checkpoint_every == 0
-            ):
-                self._save_checkpoint(state, it + 1)
+            per = tuple((b - a) / L for a, b in zip(c0, c1))
+            # one host fetch per CHUNK, and only the leaves the logger
+            # needs (hyperparameter tables move only when rlog wants
+            # them) — per-leaf device fetches are host round-trips too
+            need = {"train", "this", "all", "but5", "alpha", "rejected",
+                    "auc"}
+            if self.rlog is not None:
+                need |= {"w_mu", "w_lambda", "v_mu", "v_lambda"}
+            ms_host = jax.device_get(
+                {k_: v_ for k_, v_ in ms.items() if k_ in need}
+            )
+            for j in range(L):
+                self._log_iteration(
+                    i0 + j, jax.tree.map(lambda x: x[j], ms_host), per
+                )
+            if ckpt_every and (i0 + L) % ckpt_every == 0:
+                self._save_checkpoint(state, i0 + L)
         # test/debug introspection: keep the parameter-table state but
         # NOT the big per-case A table (GBs on large runs — pinning it
         # past learn() would starve a follow-up learn/predict of HBM);
