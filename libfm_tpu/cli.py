@@ -254,12 +254,7 @@ def main(argv=None) -> int:
     # the same HD cache, libfm.cpp:141-174); the vector MCMC/ALS engine
     # uploads its row chunks without a resident host copy
     stream_test = None
-    if (
-        args.cache_size
-        and method == "mcmc"
-        and args.engine == "vector"
-        and not rel_names
-    ):
+    if args.cache_size and method == "mcmc" and not rel_names:
         import os as _os
 
         xpt, ypt = args.test + ".x", args.test + ".y"
@@ -288,7 +283,34 @@ def main(argv=None) -> int:
                 "is ignored."
             )
         else:
-            validation = Dataset.load(args.validation)
+            # the validation set streams under -cache_size too (the
+            # reference builds EVERY Data with the same bounded cache,
+            # libfm.cpp:141-174): SGDA's lambda steps read it strictly
+            # round-robin, so one bounded window suffices
+            _vxp, _vyp = args.validation + ".x", args.validation + ".y"
+            import os as _os
+
+            if (
+                args.cache_size
+                and stream_train is not None
+                and _os.path.exists(_vxp)
+                and _os.path.getsize(_vxp) > int(float(args.cache_size))
+            ):
+                from libfm_tpu.data.streaming import StreamingDataset
+
+                validation = StreamingDataset(
+                    _vxp, _vyp,
+                    entry_budget=max(
+                        1024, int(float(args.cache_size)) // 8
+                    ),
+                )
+                print(
+                    f"Validation out-of-core: {_vxp} "
+                    f"({_os.path.getsize(_vxp)} B > cache_size "
+                    f"{int(float(args.cache_size))} B)"
+                )
+            else:
+                validation = Dataset.load(args.validation)
 
     # relations (BS); with -cache_size the block tables read through the
     # bounded streaming windows (reference parity, relation.h:62-78)
@@ -543,17 +565,6 @@ def main(argv=None) -> int:
         params_out = learner.params
     elif method == "mcmc":
         extra = {}
-        if stream_train is not None and args.engine != "vector":
-            print(
-                "WARNING: -cache_size streaming needs the vector engine; "
-                "loading resident."
-            )
-            print("Loading train...")
-            train = Dataset.load(args.train)
-            stream_train = None
-            if task == TASK_CLASSIFICATION:
-                # the earlier binarization ran on the discarded stream
-                train.binarize_targets()
         if args.engine == "vector":
             # relational (BS) data is handled inside the vector learner:
             # thin joins are expanded to a flat design matrix and swept

@@ -16,11 +16,19 @@ Two TPU-native mechanisms replace it:
    cannot; `StreamingDataset` batches from either source without
    materialising the whole matrix.
 
-SGD trains out-of-core via `SGDLearner` + `StreamingDataset.iter_batches`
-(each epoch streams padded fixed-shape batches to the device). The
-MCMC/ALS engines need resident caches by design (like the reference,
-whose MCMC also loads transposes fully); their scale axis is the device
-mesh, not host streaming.
+Every learner trains out-of-core from these sources: SGD/SGDA via
+`SGDLearner.learn_stream` / `SGDALearner.learn_stream` (each epoch
+streams padded fixed-shape batches to the device), and the vector
+MCMC/ALS engines via `MCMCVectorLearner.learn(StreamingDataset, ...)`
+— their slot-layout build walks bounded `.x`/`.xt` windows and uploads
+device chunks incrementally, so the full host matrix never exists
+(mcmc_vector.py `_gen_stream` / `_chunk_rows_stream`). The device-side
+[e|Q] caches ARE resident in HBM (that is the engine's design — the
+reference's per-case `e_q_term cache[]` analog), so the per-CASE scale
+axis beyond one chip's HBM is the device mesh; the HOST-memory axis
+streams for every supported engine. The exact scalar engine
+(`-engine exact`) is the one path that still loads resident under
+`-cache_size` (README support matrix).
 """
 
 from __future__ import annotations

@@ -402,6 +402,35 @@ def draw_theta_hyperpriors(
     return lam_new, mu_new, rej1 + rej2
 
 
+def _coo_device_from_stream(stream, dtype):
+    """Device COO (rows, cols, vals) uploaded window-by-window from a
+    StreamingDataset's binary .x — host memory holds ONE entry-budgeted
+    window at a time; the concatenation happens device-side. The
+    reference's analog reads the same rows through the bounded HD cache
+    (/root/reference/src/util/fmatrix.h:244-269)."""
+    from libfm_tpu.data.streaming import stream_sparse_binary
+
+    pr, pc, pv = [], [], []
+    for row_start, indptr, cols, vals, _, _ in stream_sparse_binary(
+        stream.x_path, stream.entry_budget
+    ):
+        lens = np.diff(indptr).astype(np.int64)
+        rows = np.repeat(
+            np.arange(row_start, row_start + len(lens), dtype=np.int64),
+            lens,
+        )
+        pr.append(jnp.asarray(rows.astype(np.int32)))
+        pc.append(jnp.asarray(cols.astype(np.int32)))
+        pv.append(jnp.asarray(vals, dtype=dtype))
+    if not pr:
+        return (
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0,), dtype),
+        )
+    return jnp.concatenate(pr), jnp.concatenate(pc), jnp.concatenate(pv)
+
+
 def dispatch_chunks(start, num_iter, refresh_every, ckpt_every=0):
     """Split iterations [start, num_iter) into dispatch chunks whose
     LAST iteration is a refresh point under the engine cadence
@@ -580,12 +609,114 @@ class MCMCLearner:
         self._exact_blocks = all(b.exact for b in blocks)
         return dev_blocks, stacked, jnp.asarray(unobserved), jnp.asarray(attr_group)
 
+    def _build_layout_stream(self, train):
+        """Streamed layout build (StreamingDataset train): conflict-free
+        blocks come from the transposed .xt in bounded windows — the
+        reference's out-of-core data_t path
+        (/root/reference/src/libfm/libfm.cpp:141-174,
+        src/util/fmatrix.h:165-281) — and each block uploads to the
+        device as soon as it materialises, so peak host RSS is one
+        block plus one stream window. Mirrors
+        mcmc_vector._build_vector_layouts' streaming branch."""
+        import os
+
+        from libfm_tpu.data.batching import FeatureBlock
+        from libfm_tpu.data.streaming import (
+            infer_position_groups,
+            stream_feature_blocks,
+            stream_feature_blocks_any,
+            stream_greedy_partition,
+        )
+
+        attr_group = self.attr_group_np
+        if attr_group is None:
+            attr_group = np.zeros(self.cfg.num_features, dtype=np.int32)
+        xt = train.x_path + "t"
+        if not os.path.exists(xt):
+            raise ValueError(
+                f"streaming MCMC/ALS needs the transposed design matrix "
+                f"at {xt} (build it with tools/transpose.py)"
+            )
+        if int(attr_group.max()) > 0:
+            part = attr_group
+        else:
+            part = infer_position_groups(
+                train.x_path, self.cfg.num_features, train.entry_budget
+            )
+        if part is not None:
+            block_iter = stream_feature_blocks(
+                xt, part, train.num_rows, train.entry_budget
+            )
+        else:
+            gpart, gcounts = stream_greedy_partition(
+                xt, train.num_rows, train.entry_budget
+            )
+            block_iter = stream_feature_blocks_any(
+                xt, gpart, train.num_rows, train.entry_budget,
+                entries_per_feature=gcounts,
+            )
+        f = self.dtype
+        dev_blocks, sizes, observed_parts = [], [], []
+        for b in block_iter:
+            observed_parts.append(b.features.astype(np.int64))
+            sizes.append(len(b.entry_rows))
+            dev_blocks.append(
+                BlockArrays(
+                    jnp.asarray(b.features),
+                    jnp.asarray(attr_group[b.features]),
+                    jnp.asarray(b.entry_rows),
+                    jnp.asarray(b.entry_vals, dtype=f),
+                    jnp.asarray(b.entry_feat),
+                    exact=b.exact,
+                )
+            )
+        stacked = None
+        if len(dev_blocks) > self.max_blocks:
+            # same size-ordered head/tail split as the resident build:
+            # big blocks stay unrolled, the small tail stacks under one
+            # scan. Tail blocks round-trip device->host here; they are
+            # the SMALL ones, so the host spike stays bounded by the
+            # stack itself.
+            order = np.argsort(-np.asarray(sizes), kind="stable")
+            dev_blocks = [dev_blocks[i] for i in order]
+            head = dev_blocks[: self.max_blocks]
+            tail_host = [
+                FeatureBlock(
+                    features=np.asarray(tb.features),
+                    entry_rows=np.asarray(tb.entry_rows),
+                    entry_vals=np.asarray(tb.entry_vals, dtype=np.float32),
+                    entry_feat=np.asarray(tb.entry_feat),
+                    exact=tb.exact,
+                )
+                for tb in dev_blocks[self.max_blocks :]
+            ]
+            stacked = _stack_blocks(
+                tail_host, attr_group, self.cfg.num_features,
+                train.num_rows, f,
+            )
+            dev_blocks = head
+        observed = (
+            np.concatenate(observed_parts)
+            if observed_parts
+            else np.empty(0, np.int64)
+        )
+        mask = np.ones(self.cfg.num_features, dtype=bool)
+        if len(observed):
+            mask[observed] = False
+        unobserved = np.nonzero(mask)[0].astype(np.int32)
+        self._exact_blocks = all(b.exact for b in dev_blocks)
+        return (
+            dev_blocks, stacked, jnp.asarray(unobserved),
+            jnp.asarray(attr_group),
+        )
+
     # --------------------------------------------------------------- learn
     def learn(self, train: Dataset, test: Dataset):
+        from libfm_tpu.data.streaming import StreamingDataset
         from libfm_tpu.learners import base
 
         base.check_num_features(self.cfg, train, test)
-        if train.relations:
+        if getattr(train, "relations", None):
             return self._learn_relational(train, test)
         cfg = self.cfg
         f = self.dtype
@@ -593,7 +724,12 @@ class MCMCLearner:
         self.min_target = train.min_target
         self.max_target = train.max_target
 
-        blocks, stacked, unobserved, attr_group = self._build_layout(train)
+        if isinstance(train, StreamingDataset):
+            blocks, stacked, unobserved, attr_group = (
+                self._build_layout_stream(train)
+            )
+        else:
+            blocks, stacked, unobserved, attr_group = self._build_layout(train)
         G = int(np.max(np.asarray(attr_group))) + 1
         num_attr_per_group = jnp.asarray(
             np.bincount(np.asarray(attr_group), minlength=G).astype(np.float64),
@@ -622,12 +758,20 @@ class MCMCLearner:
             else jnp.full((G, k), self._init_v_lambda, dtype=f)
         )
 
-        tr_rows = jnp.asarray(train.row_of_entry)
-        tr_cols = jnp.asarray(train.cols)
-        tr_vals = jnp.asarray(train.vals, dtype=f)
-        te_rows = jnp.asarray(test.row_of_entry)
-        te_cols = jnp.asarray(test.cols)
-        te_vals = jnp.asarray(test.vals, dtype=f)
+        if isinstance(train, StreamingDataset):
+            # device COO built from bounded .x windows (targets are
+            # resident — 4 B/row, like the reference's DVector target)
+            tr_rows, tr_cols, tr_vals = _coo_device_from_stream(train, f)
+        else:
+            tr_rows = jnp.asarray(train.row_of_entry)
+            tr_cols = jnp.asarray(train.cols)
+            tr_vals = jnp.asarray(train.vals, dtype=f)
+        if isinstance(test, StreamingDataset):
+            te_rows, te_cols, te_vals = _coo_device_from_stream(test, f)
+        else:
+            te_rows = jnp.asarray(test.row_of_entry)
+            te_cols = jnp.asarray(test.cols)
+            te_vals = jnp.asarray(test.vals, dtype=f)
         y_train = jnp.asarray(train.target, dtype=f)
         y_test = jnp.asarray(test.target, dtype=f)
         nc_train, nc_test = train.num_rows, test.num_rows

@@ -976,13 +976,18 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             return A, w, V, jnp.zeros((), jnp.int32), key
         wnum = dr["wnum"]  # [nb+1]
         we0, SQ0, SQe0, SQQ0 = build_rel_caches(A, dr, nb, slab_meta)
-        # s/dQB carry a dummy-row tail so the update scatters can use
-        # UNIQUE ids for padded entries (entry_bs); dummy rows only ever
-        # accumulate exact zeros (pad x == 0) and are never read back
-        # (reads use entry_b, whose pads point at the zero row nb)
+        # s/dQB live PACKED as one [nb+1+ext, 1+k] table SD = [s | dQB]:
+        # every consumer reads/writes both at the same block row, and on
+        # TPU a row gather costs ~10-15 ns per ROW regardless of width,
+        # so the packed layout halves the gather/scatter rows of the
+        # update pass, the corrected() reads, and the 1M-row resync
+        # (round 5; the split form cost ~8 ms/iter on the BS bench).
+        # The dummy-row tail gives the update scatters UNIQUE ids for
+        # padded entries (entry_bs); dummy rows only ever accumulate
+        # exact zeros (pad x == 0) and are never read back (reads use
+        # entry_b, whose pads point at the zero row nb).
         ext = max((Ep for (_, Ep) in shapes), default=1)
-        s = jnp.zeros((nb + 1 + ext,), f)
-        dQB = jnp.zeros((nb + 1 + ext, k), f)
+        SD = jnp.zeros((nb + 1 + ext, 1 + k), f)
         n_rej = jnp.zeros((), jnp.int32)
         # symmetric QQ moment packing (same trick as the flat engine's
         # case-major stats): the x^2-weighted SQQ moment is bitwise
@@ -1015,7 +1020,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 EC >>= 1
 
             def block_step(carry, inp):
-                w, V, s, dQB, n_rej = carry
+                w, V, SD, n_rej = carry
                 feats, eb, ebs, ex, ef, z = inp
                 theta_old = jnp.concatenate(
                     [w[feats][:, None], V[feats]], axis=1
@@ -1024,8 +1029,9 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 def corrected(eb_c, ex_c):
                     """Per-entry corrected caches for one entry chunk."""
                     wn = wnum[eb_c]
-                    sb = s[eb_c]
-                    dq = dQB[eb_c]
+                    sd = SD[eb_c]  # ONE [EC, 1+k] row gather for s + dQB
+                    sb = sd[:, 0]
+                    dq = sd[:, 1:]
                     SQ0_e = SQ0[eb_c]
                     we0_e = we0[eb_c]
                     SQ_c = SQ0_e + wn[:, None] * dq
@@ -1160,15 +1166,14 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 # real entries touch DISTINCT block rows, so chunked
                 # gathers never see a same-block update. Padded entries
                 # have x = 0 (zero contributions to row nb).
-                def upd_chunk(carry, inp_c):
-                    s, dQB = carry
+                def upd_chunk(SD, inp_c):
                     eb_c, ebs_c, ex_c, ef_c = inp_c
-                    dq = dQB[eb_c]
                     # ONE full-row gather then slice: `x[idx, 1:]` lowers
                     # to an offset gather that runs ~7x slower on TPU
                     # than gather-then-slice (measured 3.4 vs 0.47 ms at
                     # [2048, 33]); this was the dominant cost of the
                     # whole update pass
+                    dq = SD[eb_c][:, 1:]
                     de = delta[ef_c]
                     dw_e = de[:, 0]
                     dv_e = de[:, 1:]
@@ -1178,16 +1183,19 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     )
                     # ebs: real entries hit distinct block rows (the
                     # partition is conflict-free) and pads hit unique
-                    # dummy rows -> the scatter takes the fast path
-                    s = s.at[ebs_c].add(ds, unique_indices=True)
-                    dQB = dQB.at[ebs_c].add(
-                        ex_c[:, None] * dv_e, unique_indices=True
+                    # dummy rows -> the scatter takes the fast path;
+                    # [ds | x dv] lands as ONE packed row-add
+                    SD = SD.at[ebs_c].add(
+                        jnp.concatenate(
+                            [ds[:, None], ex_c[:, None] * dv_e], axis=1
+                        ),
+                        unique_indices=True,
                     )
-                    return (s, dQB), None
+                    return SD, None
 
                 if "upd" not in _skip:
-                    (s, dQB), _ = jax.lax.scan(
-                        upd_chunk, (s, dQB),
+                    SD, _ = jax.lax.scan(
+                        upd_chunk, SD,
                         (
                             eb.reshape(-1, EC),
                             ebs.reshape(-1, EC),
@@ -1198,11 +1206,11 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
                 w = w.at[feats].set(theta_new[:, 0])
                 V = V.at[feats].set(theta_new[:, 1:])
-                return (w, V, s, dQB, n_rej + rej), None
+                return (w, V, SD, n_rej + rej), None
 
-            (w, V, s, dQB, n_rej), _ = jax.lax.scan(
+            (w, V, SD, n_rej), _ = jax.lax.scan(
                 block_step,
-                (w, V, s, dQB, n_rej),
+                (w, V, SD, n_rej),
                 (st["feats"], st["entry_b"], st["entry_bs"], st["entry_x"],
                  st["entry_f"], zs),
             )
@@ -1211,8 +1219,9 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         def resync_chunk(A, inp):
             ci, mb = inp
             A_chunk = jax.lax.dynamic_slice(A, (ci * CU, 0), (CU, 1 + k))
-            sg = s[mb]
-            dg = dQB[mb]
+            sd = SD[mb]  # ONE packed row gather per case
+            sg = sd[:, 0]
+            dg = sd[:, 1:]
             e_new = A_chunk[:, 0] + sg + (dg * A_chunk[:, 1:]).sum(-1)
             Q_new = A_chunk[:, 1:] + dg
             A = jax.lax.dynamic_update_slice(
@@ -1244,7 +1253,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         rej += r
 
         w0 = state["w0"]
-        if use_bias:
+        if use_bias and "alphaw0" not in _skip:
             key, k1 = jax.random.split(key)
             acc = jnp.sum(e) - nc_train * w0
             sigma_sqr = 1.0 / (learner.reg0 + alpha * nc_train)
@@ -1261,7 +1270,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         w, V = state["w"], state["V"]
         w_mu, w_lambda = state["w_mu"], state["w_lambda"]
         v_mu, v_lambda = state["v_mu"], state["v_lambda"]
-        if do_multilevel:
+        if do_multilevel and "hyper" not in _skip:
             if use_linear:
                 key, k1 = jax.random.split(key)
                 w_lambda, w_mu, r = draw_theta_hyperpriors(
@@ -1316,7 +1325,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             )
             rej += r
 
-        if n_unobs:
+        if n_unobs and "unobs" not in _skip:
             key, ku = jax.random.split(key)
             g_u = S["attr_group"][S["unobserved"]]
             if do_sample:
@@ -1359,7 +1368,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         key = state["key"]
         key, kr = jax.random.split(key)
         latent = state.get("latent")
-        if "refresh" in _skip:
+        if "refresh" in _skip or ("trainmetric" in _skip and not refresh):
             A, train_metric = state["A"], jnp.zeros((), f)
         elif refresh:
             A, train_metric, latent = refresh_A_and_train_metric(
@@ -1435,7 +1444,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
 
         n_all = it + 1.0
         n_but5 = jnp.maximum(it - 4.0, 1e-12)
-        if task == TASK_REGRESSION:
+        if "metrics" in _skip:
+            z = jnp.zeros((), f)
+            m_this = m_all = m_but5 = (z, z)
+        elif task == TASK_REGRESSION:
             m_this = _masked_rmse_mae(
                 pred_this, y_test, S["eval_mask"], min_t, max_t, 1.0
             )

@@ -99,28 +99,24 @@ class DevBucket:
     # engine stores them with dynamic_update_slice instead of the
     # fat-row scatter-add (0.51 s/iter of the ML-10M headline)
     slice_store: bool = False
-    # segment-combine stats store (round 4, multi-segment features):
-    # per chunk, the C segment rows are first reduced onto the chunk's
-    # LOCAL feature window [f0, f0 + comb_u) with a one-hot matmul,
-    # then applied to GG as ONE dynamic-slice read-add-write — the
-    # fat-row scatter's row count drops by the segments-per-feature
-    # factor. comb_u static; seg_local = seg_feat2 - f0 per chunk.
-    comb_u: int = 0
-    comb_f0: jax.Array | None = None
-    seg_local: jax.Array | None = None
+    # (a round-4 "segment-combine" stats store lived here — per-chunk
+    # one-hot reduction onto a local feature window before the GG
+    # write. Removed round 5: measured NEUTRAL on its designed config
+    # (#5 zipf head features, 5.7023 vs 5.7033 s/iter,
+    # studies/results/segcomb.json) — the residual scatter lives in the
+    # low-multiplicity W=32 bucket it cannot help.)
 
     def tree_flatten(self):
         return (
             self.slot_case, self.slot_val, self.seg_feat, self.seg_feat2,
-            self.slab_start, self.comb_f0, self.seg_local,
-        ), (self.width, self.slab, self.slice_store, self.comb_u)
+            self.slab_start,
+        ), (self.width, self.slab, self.slice_store)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             *children[:4], width=aux[0], slab_start=children[4],
-            slab=aux[1], slice_store=aux[2], comb_u=aux[3],
-            comb_f0=children[5], seg_local=children[6],
+            slab=aux[1], slice_store=aux[2],
         )
 
 
@@ -222,10 +218,6 @@ class MCMCVectorLearner(MCMCLearner):
         # slots gathered per scan step (chunking of the slot/dual
         # passes); experiments only
         self._slot_budget = 1 << 18
-        # segment-combine stats store for multi-segment-heavy buckets
-        # (zipf head features): per-chunk one-hot reduce + windowed
-        # slice RMW instead of the fat-row GG scatter
-        self._seg_combine = True
         # profiling-only: "slice" replaces the stats GG scatter with a
         # contiguous write (wrong results, real timings)
         self._stats_store = "scatter"
@@ -617,45 +609,6 @@ class MCMCVectorLearner(MCMCLearner):
                     seg_feat2=jax.device_put(jnp.asarray(sf2), sh2),
                     width=b.width,
                 )
-            # Segment-combine eligibility (stats buckets only — sf2 is
-            # the dense-remapped id and is sorted within each chunk):
-            # worth it when features span many segments (the head
-            # features of zipf blocks) and each chunk's feature window
-            # is narrow. self._seg_combine gates the whole path.
-            comb_u, comb_f0, seg_local = 0, None, None
-            if (
-                self._seg_combine
-                and not slice_store
-                and mesh is None
-                and len(sf2) > 0
-            ):
-                # the only padded chunk is the last one; its pad tail
-                # carries pad_sf2 (the global max id), which must not
-                # count toward the window — pad payloads are zero, so
-                # their local target just clamps into the window
-                n_real_last = sf2.shape[1] - pad
-                last_real = (
-                    sf2[-1, n_real_last - 1]
-                    if n_real_last > 0 else sf2[-1, 0]
-                )
-                hi = sf2[:, -1].copy()
-                hi[-1] = last_real
-                span = hi - sf2[:, 0] + 1
-                n_feat = max(1, len(np.unique(sf2)))
-                segs_per_feat = sf2.size / n_feat
-                U = int(span.max())
-                if segs_per_feat >= 4.0 and U <= 512:
-                    comb_u = ((U + 7) // 8) * 8
-                    # observability (tests/doctoring)
-                    self._comb_buckets_built = (
-                        getattr(self, "_comb_buckets_built", 0) + 1
-                    )
-                    comb_f0 = jnp.asarray(sf2[:, 0].astype(np.int32))
-                    seg_local = jnp.asarray(
-                        np.clip(
-                            sf2 - sf2[:, :1], 0, comb_u - 1
-                        ).astype(np.int32)
-                    )
             return DevBucket(
                 slot_case=jnp.asarray(sc),
                 slot_val=jnp.asarray(sv, dtype=f),
@@ -663,9 +616,6 @@ class MCMCVectorLearner(MCMCLearner):
                 seg_feat2=jnp.asarray(sf2),
                 width=b.width,
                 slice_store=slice_store,
-                comb_u=comb_u,
-                comb_f0=comb_f0,
-                seg_local=seg_local,
             )
 
         from libfm_tpu.data.vector_layout import WidthBucket as _WB
@@ -1200,14 +1150,7 @@ class MCMCVectorLearner(MCMCLearner):
                 (iu0_np * k + iu1_np).astype(np.int32)
             )
             GW = T + 2 * k + 2
-            # segment-combine buckets RMW a [comb_u, GW] window at
-            # dynamic row f0 <= Fd - 1: give GG enough tail rows that
-            # the window never leaves the array (sliced back off before
-            # the draws)
-            GG_extra = max(
-                (b.comb_u for b in lay.buckets), default=0
-            )
-            GG = jnp.zeros((Fd_pad + GG_extra, GW), f)
+            GG = jnp.zeros((Fd_pad, GW), f)
             if tp:
                 # per-feature stats live row-sharded over `model`; the
                 # data-sharded bucket scatters below cross-shard via SPMD
@@ -1363,13 +1306,8 @@ class MCMCVectorLearner(MCMCLearner):
             for b in (lay.buckets if "stats" not in self._skip_phases else []):
                 _slab = b.slab  # static per bucket
                 _slice = b.slice_store
-                _cu = b.comb_u  # static; 0 = scatter path
 
-                def stats_chunk(GG, inp, _slab=_slab, _slice=_slice,
-                                _cu=_cu):
-                    f0 = loc = None
-                    if _cu:
-                        inp, f0, loc = inp[:-2], inp[-2], inp[-1]
+                def stats_chunk(GG, inp, _slab=_slab, _slice=_slice):
                     if _slab:
                         sc, sv, sf, sf2, st = inp
                         A_src = jax.lax.dynamic_slice(
@@ -1412,27 +1350,7 @@ class MCMCVectorLearner(MCMCLearner):
                     # rows; a full `GG + seg_sum(...)` would rewrite the
                     # whole multi-GB carry on every scan step (measured:
                     # that dominated k=128 sweeps)
-                    if _cu:
-                        # segment-combine store: reduce the chunk's C
-                        # segment rows onto its local feature window
-                        # with a one-hot matmul (HIGHEST precision — the
-                        # products are row * {0,1} and must not round),
-                        # then ONE windowed read-add-write into GG.
-                        onehot = (
-                            loc[:, None]
-                            == jnp.arange(_cu, dtype=jnp.int32)[None, :]
-                        ).astype(f)
-                        comb = jnp.einsum(
-                            "cu,cg->ug", onehot, Gseg,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )
-                        win = jax.lax.dynamic_slice(
-                            GG, (f0, 0), (_cu, GW)
-                        )
-                        GG = jax.lax.dynamic_update_slice(
-                            GG, win + comb, (f0, 0)
-                        )
-                    elif _slice or self._stats_store == "slice":
+                    if _slice or self._stats_store == "slice":
                         # unique_feats layout: this chunk's rows ARE GG
                         # rows [sf2[0], sf2[0]+C) in order — store with a
                         # slice write instead of the fat-row scatter-add
@@ -1458,8 +1376,6 @@ class MCMCVectorLearner(MCMCLearner):
                 xs = (b.slot_case, b.slot_val, b.seg_feat, b.seg_feat2)
                 if _slab:
                     xs = xs + (b.slab_start,)
-                if _cu:
-                    xs = xs + (b.comb_f0, b.seg_local)
                 GG, _ = jax.lax.scan(stats_chunk, GG, xs)
 
             lam = jnp.concatenate(
@@ -1497,9 +1413,7 @@ class MCMCVectorLearner(MCMCLearner):
                 # split only the LEADING dim (a true free reshape — going
                 # straight to square would materialise all of GG with
                 # tile padding); chunks reshape to square on their own.
-                # The segment-combine safety tail (GG_extra) is sliced
-                # back off first — its rows are only window slack.
-                GG_c = GG[:Fd_pad].reshape(-1, FC, GW)
+                GG_c = GG.reshape(-1, FC, GW)
                 th_c = _padF(theta_old[dfeats]).reshape(-1, FC, d)
                 lam_c = _padF(lam[dfeats], fill=1.0).reshape(-1, FC, d)
                 mu_c = _padF(mu_pr[dfeats]).reshape(-1, FC, d)

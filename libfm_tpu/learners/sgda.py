@@ -270,17 +270,20 @@ class SGDALearner(SGDLearner):
         self.history = history
         return history
 
-    def learn_stream(self, stream, test: Dataset, validation: Dataset = None,
+    def learn_stream(self, stream, test: Dataset, validation=None,
                      max_nnz: int | None = None):
         """Out-of-core SGDA: the TRAIN set streams from a binary .x/.y
         pair with bounded host memory (the reference trains any learner
         straight from the LargeSparseMatrixHD cache,
-        /root/reference/src/util/fmatrix.h:165-281); the validation and
-        test sets stay resident (validation is read once per train
-        batch for the lambda step — streaming it would re-read the
-        whole file every epoch for no memory win at typical
-        validation sizes). Interleaves one lambda step per train batch,
-        skipping iteration 0 (adapt_reg.h:294-311)."""
+        /root/reference/src/util/fmatrix.h:165-281). `validation` may be
+        a resident Dataset OR a StreamingDataset: the lambda steps
+        consume validation batches round-robin (adapt_reg.h:294-311), a
+        strictly sequential access pattern, so a streamed validation
+        reads through one bounded window cycling over the file — a
+        validation set larger than host RAM works, matching the
+        reference's bounded-cache construction of every Data
+        (libfm.cpp:141-174). Interleaves one lambda step per train
+        batch, skipping iteration 0."""
         if validation is None:
             raise ValueError("SGDA requires a validation set")
         if getattr(test, "relations", None) or getattr(
@@ -306,10 +309,55 @@ class SGDALearner(SGDLearner):
         f = self.cfg.dtype
         G, k, n = self.num_groups, self.cfg.num_factors, self.cfg.num_features
 
-        vb = batch_dataset(validation, self.batch_size)
+        from libfm_tpu.data.streaming import StreamingDataset
+
+        val_stream = isinstance(validation, StreamingDataset)
+        if val_stream:
+            v_max_nnz = max(validation.max_row_nnz(), 1)
+
+            def _val_batches():
+                # round-robin over the streamed validation file, one
+                # bounded window resident at a time. Recreated at each
+                # epoch start: the reference resets its validation
+                # iterator per iteration (adapt_reg.h:299) and wraps
+                # mid-epoch (:304-307) — matching the resident path's
+                # bi % nb_v indexing.
+                while True:
+                    empty = True
+                    for vids, vvals, vy, vm in validation.iter_batches(
+                        self.batch_size, v_max_nnz
+                    ):
+                        empty = False
+                        yield (
+                            jnp.asarray(vids), jnp.asarray(vvals),
+                            jnp.asarray(vy), jnp.asarray(vm),
+                        )
+                    if empty:
+                        raise ValueError("validation stream is empty")
+
+            val_iter = None  # fresh per epoch (see the epoch loop)
+            v_arrs, nb_v = None, 1
+            cfg_ = self.cfg
+            task_ = self.task
+
+            @jax.jit
+            def _val_sums(params, vids, vvals, vy, vm):
+                # per-batch metric sums (combined host-side across the
+                # streamed pass; RMSE needs global sums, not batch RMSEs)
+                pred, _ = fm_batch_terms(params, vids, vvals, cfg_)
+                m = vm.astype(pred.dtype)
+                if task_ == TASK_REGRESSION:
+                    err = (jnp.clip(pred, min_t, max_t) - vy) * m
+                    return (err * err).sum(), m.sum()
+                correct = ((pred >= 0) & (vy >= 0)) | ((pred < 0) & (vy < 0))
+                return (correct.astype(pred.dtype) * m).sum(), m.sum()
+        else:
+            vb = batch_dataset(validation, self.batch_size)
+            v_arrs = _device_arrays(vb)
+            nb_v = vb.num_batches
+            val_iter = None
         eb = batch_dataset(test, self.batch_size)
-        v_arrs, e_arrs = map(_device_arrays, (vb, eb))
-        nb_v = vb.num_batches
+        e_arrs = _device_arrays(eb)
         lr = jnp.asarray(self.lrs[0], dtype=f)
         min_t, max_t = self.min_target, self.max_target
         theta_step, lambda_step = self._make_steps(lr, min_t, max_t)
@@ -331,10 +379,15 @@ class SGDALearner(SGDLearner):
         for it in range(self.num_iter):
             c0 = iter_clocks()
             bi = 0
+            if val_stream:
+                val_iter = _val_batches()  # reset per epoch (adapt_reg.h:299)
             for ids, vals, y, m in stream.iter_batches(
                 self.batch_size, max_nnz
             ):
-                vbatch = tuple(a[bi % nb_v] for a in v_arrs)
+                vbatch = (
+                    next(val_iter) if val_stream
+                    else tuple(a[bi % nb_v] for a in v_arrs)
+                )
                 self.params, grads, regs = step(
                     self.params, grads, regs,
                     (jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(y),
@@ -354,9 +407,26 @@ class SGDALearner(SGDLearner):
                     "for the lossless default",
                     stacklevel=2,
                 )
-            m_val = self._eval(self.params, *v_arrs, min_t, max_t)
+            if val_stream:
+                sq = cnt = 0.0
+                for vids, vvals, vy, vm in validation.iter_batches(
+                    self.batch_size, v_max_nnz
+                ):
+                    s_, c_ = _val_sums(
+                        self.params, jnp.asarray(vids), jnp.asarray(vvals),
+                        jnp.asarray(vy), jnp.asarray(vm),
+                    )
+                    sq += float(s_)
+                    cnt += float(c_)
+                cnt = max(cnt, 1.0)
+                vl = (
+                    float(np.sqrt(sq / cnt))
+                    if self.task == TASK_REGRESSION else sq / cnt
+                )
+            else:
+                vl = float(self._eval(self.params, *v_arrs, min_t, max_t)[0])
             m_test = self._eval(self.params, *e_arrs, min_t, max_t)
-            te, vl = float(m_test[0]), float(m_val[0])
+            te = float(m_test[0])
             c2 = iter_clocks()
             history.append((float("nan"), te, vl, dt))
             if self.verbose:

@@ -23,7 +23,46 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+
+
+#: panel width for the blocked factorization/solves. 8 keeps the pivot
+#: blocks tiny (unrolled scalar steps on [8, 8, C]) while cutting the
+#: number of full-tile trailing updates by 8x — the scalar rank-1
+#: right-looking loop rewrote the whole [W, W, C] tile W times, which
+#: at W=32, C=2048 is ~34 MB x 32 steps of pure HBM traffic per
+#: factorization (the dominant cost of the BS relation draws,
+#: studies/results/bs_profile_r5.json).
+_PANEL = 8
+
+
+def _chol_block(T, pw):
+    """Unrolled scalar Cholesky of one [pw, pw, C] pivot block (python
+    loop — pw is a small static panel width)."""
+    r = np.arange(pw)[:, None]
+    cols = []
+    for j in range(pw):
+        d = jnp.sqrt(T[j, j])  # [C]
+        col = T[:, j] / d  # [pw, C]
+        colz = jnp.where(r > j, col, 0.0)
+        cols.append(jnp.where(r == j, d, colz))
+        # colz is zero at rows <= j, so the rank-1 product already
+        # vanishes outside the trailing block — no mask needed
+        T = T - colz[:, None, :] * colz[None, :, :]
+    return jnp.stack(cols, axis=1)  # [pw, pw, C] lower
+
+
+def _panel_solve(B, Lp, pw):
+    """X with X Lp^T = B: forward substitution over the pw panel
+    columns, unrolled. B: [R, pw, C], Lp: [pw, pw, C] lower."""
+    xcols = []
+    for j in range(pw):
+        acc = B[:, j]
+        for t in range(j):
+            acc = acc - xcols[t] * Lp[j, t][None, :]
+        xcols.append(acc / Lp[j, j][None, :])
+    return jnp.stack(xcols, axis=1)  # [R, pw, C]
 
 
 def cholesky_lanes(M: jax.Array) -> jax.Array:
@@ -32,34 +71,37 @@ def cholesky_lanes(M: jax.Array) -> jax.Array:
     M: [C, W, W] symmetric positive definite.
     Returns L: [C, W, W] lower-triangular with M = L L^T (upper part
     zeroed), numerically equivalent to jnp.linalg.cholesky.
-    """
+
+    Blocked right-looking algorithm (panel width _PANEL): each panel
+    factors a tiny pivot block with unrolled scalar steps, solves the
+    panel with unrolled forward substitution, and applies ONE rank-pw
+    trailing update — W/_PANEL full-tile rewrites instead of W
+    (measured 4-5x less HBM traffic at W=32; see _PANEL). The
+    cross-panel updates accumulate rank-pw at once, so f32 rounding can
+    differ from the rank-1 scalar order in the last ulps — same
+    contract as any BLAS-blocked factorization."""
     C, W, _ = M.shape
     A = jnp.moveaxis(M, 0, -1)  # [W, W, C] — batch in lanes
-    i = lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    j = lax.broadcasted_iota(jnp.int32, (W, W), 1)
-
-    def step(jj, A):
-        # pivot column jj: d = sqrt(A[jj, jj]); col = A[:, jj] / d for
-        # rows > jj; trailing submatrix -= col col^T
-        piv = lax.dynamic_slice(A, (jj, jj, 0), (1, 1, C))[0, 0]  # [C]
-        d = jnp.sqrt(piv)
-        coln = lax.dynamic_slice(A, (0, jj, 0), (W, 1, C))[:, 0]  # [W, C]
-        col = coln / d  # [W, C]
-        row_gt = lax.broadcasted_iota(jnp.int32, (W, 1), 0) > jj
-        colz = jnp.where(row_gt, col, 0.0)  # rows <= jj zeroed
-        # trailing update (masked to i > jj and j > jj)
-        upd = colz[:, None, :] * colz[None, :, :]  # [W, W, C]
-        mask = (i > jj) & (j > jj)
-        A = A - jnp.where(mask[..., None], upd, 0.0)
-        # write the finished column jj of L: [d at (jj, jj); col below]
-        newcol = jnp.where(row_gt, col, jnp.where(
-            lax.broadcasted_iota(jnp.int32, (W, 1), 0) == jj, d, 0.0
-        ))
-        A = lax.dynamic_update_slice(A, newcol[:, None, :], (0, jj, 0))
-        return A
-
-    A = lax.fori_loop(0, W, step, A)
-    L = jnp.where((i >= j)[..., None], A, 0.0)
+    strips = []
+    Atr = A  # trailing submatrix [W - p, W - p, C]
+    p = 0
+    while p < W:
+        pw = min(_PANEL, W - p)
+        Lp = _chol_block(Atr[:pw, :pw], pw)
+        R = W - p - pw
+        if R:
+            X = _panel_solve(Atr[pw:, :pw], Lp, pw)
+            Atr = Atr[pw:, pw:] - jnp.einsum("ipc,jpc->ijc", X, X)
+            strip = jnp.concatenate(
+                [jnp.zeros((p, pw, C), M.dtype), Lp, X], axis=0
+            )
+        else:
+            strip = jnp.concatenate(
+                [jnp.zeros((p, pw, C), M.dtype), Lp], axis=0
+            )
+        strips.append(strip)
+        p += pw
+    L = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
     return jnp.moveaxis(L, -1, 0)
 
 
@@ -67,21 +109,35 @@ def solve_lower_lanes(L: jax.Array, b: jax.Array) -> jax.Array:
     """Solve L y = b for lower-triangular L, batch-in-lanes.
 
     L: [C, W, W] lower-triangular, b: [C, W]. Returns y: [C, W].
+    Blocked forward substitution: unrolled scalar steps inside each
+    _PANEL, one rank-pw rhs update between panels (same blocking
+    rationale as cholesky_lanes).
     """
     C, W, _ = L.shape
     Lt = jnp.moveaxis(L, 0, -1)  # [W, W, C]
-    bt = jnp.moveaxis(b, 0, -1)  # [W, C]
-
-    def step(jj, bt):
-        piv = lax.dynamic_slice(Lt, (jj, jj, 0), (1, 1, C))[0, 0]
-        yj = lax.dynamic_slice(bt, (jj, 0), (1, C))[0] / piv  # [C]
-        col = lax.dynamic_slice(Lt, (0, jj, 0), (W, 1, C))[:, 0]  # [W, C]
-        row_gt = lax.broadcasted_iota(jnp.int32, (W, 1), 0) > jj
-        bt = bt - jnp.where(row_gt, col * yj[None, :], 0.0)
-        bt = lax.dynamic_update_slice(bt, yj[None, :], (jj, 0))
-        return bt
-
-    yt = lax.fori_loop(0, W, step, bt)
+    rest = jnp.moveaxis(b, 0, -1)  # [W, C] — rows not yet solved
+    ys = []
+    p = 0
+    while p < W:
+        pw = min(_PANEL, W - p)
+        Lp = Lt[p : p + pw, p : p + pw]
+        bp = rest[:pw]
+        ycols = []
+        for j in range(pw):
+            acc = bp[j]
+            for t in range(j):
+                acc = acc - Lp[j, t] * ycols[t]
+            ycols.append(acc / Lp[j, j])
+        yp = jnp.stack(ycols, axis=0)  # [pw, C]
+        ys.append(yp)
+        if W - p - pw:
+            rest = rest[pw:] - jnp.einsum(
+                "rjc,jc->rc", Lt[p + pw :, p : p + pw], yp
+            )
+        else:
+            rest = rest[pw:]
+        p += pw
+    yt = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
     return jnp.moveaxis(yt, -1, 0)
 
 
@@ -89,26 +145,33 @@ def solve_upper_lanes(L: jax.Array, y: jax.Array) -> jax.Array:
     """Solve L^T x = y (L lower-triangular, so L^T upper), batch-in-lanes.
 
     L: [C, W, W] lower-triangular, y: [C, W]. Returns x: [C, W].
+    Blocked back substitution from the last panel upward.
     """
     C, W, _ = L.shape
     Lt = jnp.moveaxis(L, 0, -1)  # [W, W, C]
-    yt = jnp.moveaxis(y, 0, -1)  # [W, C]
-
-    def step(t, yt):
-        jj = W - 1 - t
-        piv = lax.dynamic_slice(Lt, (jj, jj, 0), (1, 1, C))[0, 0]
-        xj = lax.dynamic_slice(yt, (jj, 0), (1, C))[0] / piv  # [C]
-        # L^T row jj = L column jj: subtract L[jj+1:, jj] * xj from
-        # y[... those rows map to ROWS < jj of the transposed system]:
-        # (L^T x)[r] includes L[jj, r]^T ... use L's column structure:
-        # for r < jj: y[r] -= L^T[r, jj] * xj = L[jj, r] * xj
-        rowv = lax.dynamic_slice(Lt, (jj, 0, 0), (1, W, C))[0]  # [W, C]
-        row_lt = lax.broadcasted_iota(jnp.int32, (W, 1), 0) < jj
-        yt = yt - jnp.where(row_lt, rowv * xj[None, :], 0.0)
-        yt = lax.dynamic_update_slice(yt, xj[None, :], (jj, 0))
-        return yt
-
-    xt = lax.fori_loop(0, W, step, yt)
+    rest = jnp.moveaxis(y, 0, -1)  # [W, C]
+    xs = []
+    p = W
+    while p > 0:
+        pw = min(_PANEL, p)
+        p0 = p - pw
+        Lp = Lt[p0:p, p0:p]  # [pw, pw, C] lower
+        bp = rest[p0:p]
+        xcols: list = [None] * pw
+        for j in reversed(range(pw)):
+            acc = bp[j]
+            for t in range(j + 1, pw):
+                acc = acc - Lp[t, j] * xcols[t]  # L^T[j, t] = L[t, j]
+            xcols[j] = acc / Lp[j, j]
+        xp = jnp.stack(xcols, axis=0)  # [pw, C]
+        xs.insert(0, xp)
+        if p0:
+            # remaining rows r < p0: y[r] -= sum_t L[t, r] * x[t]
+            rest = rest[:p0] - jnp.einsum(
+                "trc,tc->rc", Lt[p0:p, :p0], xp
+            )
+        p = p0
+    xt = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
     return jnp.moveaxis(xt, -1, 0)
 
 

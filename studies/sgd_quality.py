@@ -198,22 +198,25 @@ def phase_sweep(config, iters, grid=None):
     c = CONFIGS[config]
     ref = json.load(open(f"{c['work']}/ref_results.json"))
     target = float(np.median([r["final"] for r in ref]))
+    target_best = float(np.median([r["best"] for r in ref]))
     if grid is None:
         grid = ([(0.003, 32768), (0.01, 32768), (0.001, 32768),
-                 (0.003, 8192), (0.001, 8192)] if config == "ml" else
+                 (0.003, 8192), (0.01, 8192), (0.003, 4096)]
+                if config == "ml" else
                 [(1e-4, 8192), (3e-4, 8192), (1e-4, 2048), (3e-4, 2048),
                  (1e-3, 2048), (3e-5, 8192)])
     train, test = _datasets(config)
     res = []
     for lr, bs in grid:
         r = _run_ours_one(config, train, test, 1, iters, lr, bs)
-        r["wall_to_ref"] = _wall_to(r["traj"], target, c["better"])
+        r["wall_to_ref_final"] = _wall_to(r["traj"], target, c["better"])
+        r["wall_to_ref_best"] = _wall_to(r["traj"], target_best, c["better"])
         res.append(r)
         print(json.dumps({k: v for k, v in r.items() if k != "traj"}),
               flush=True)
     with open(f"{c['work']}/sweep_results.json", "w") as f:
         json.dump(res, f)
-    print("ref target:", target)
+    print("ref targets: final", target, "best", target_best)
 
 
 def _wall_to(traj, target, better):
@@ -227,12 +230,7 @@ def phase_report(config):
     c = CONFIGS[config]
     ref = json.load(open(f"{c['work']}/ref_results.json"))
     ours = json.load(open(f"{c['work']}/ours_results.json"))
-    target = float(np.median([r["final"] for r in ref]))
     ref_wall = float(np.median([r["cum_learn_pred_s"] for r in ref]))
-    # reference wall to its own final quality (per seed, from its traj)
-    ref_ttq = [_wall_to(r["traj"], target, c["better"]) for r in ref]
-    ttq = [_wall_to(r["traj"], target, c["better"]) for r in ours]
-    hits = [t for t in ttq if t is not None]
     rep = {
         "config": config,
         "metric": c["metric"] if c["task"] == "c" else "rmse",
@@ -240,21 +238,39 @@ def phase_report(config):
                          "regular": c["regular"]},
         "ours_settings": {"lr": ours[0]["lr"], "bs": ours[0]["bs"]},
         "n_seeds": {"ref": len(ref), "ours": len(ours)},
-        "ref_median_final": target,
         "ref_final_band": [float(min(r["final"] for r in ref)),
                            float(max(r["final"] for r in ref))],
+        "ref_best_band": [float(min(r["best"] for r in ref)),
+                          float(max(r["best"] for r in ref))],
         "ours_final_band": [float(min(r["final"] for r in ours)),
                             float(max(r["final"] for r in ours))],
+        "ours_best_band": [float(min(r["best"] for r in ours)),
+                           float(max(r["best"] for r in ours))],
         "ref_median_cum_learn_pred_s": ref_wall,
-        "ref_wall_s_to_ref_median_final": ref_ttq,
-        "ours_wall_s_to_ref_median_final": ttq,
-        "ours_median_wall_s_to_ref_final":
-            float(np.median(hits)) if hits else None,
-        "hit_rate": f"{len(hits)}/{len(ttq)}",
         "note": "ref wall = cumulative rlog time_learn+time_pred "
                 "(undercounts ref true wall); ours wall includes compile "
                 "+ amortized eval",
     }
+    # two quality anchors: the reference's median FINAL metric (its
+    # converged value at these settings) and its median BEST-ever
+    # metric (the early-stopped optimum — the CTR reference SGD peaks
+    # then overfits, so best >> final there)
+    for name in ("final", "best"):
+        target = float(np.median([r[name] for r in ref]))
+        ref_ttq = [_wall_to(r["traj"], target, c["better"]) for r in ref]
+        ttq = [_wall_to(r["traj"], target, c["better"]) for r in ours]
+        hits = [t for t in ttq if t is not None]
+        rhits = [t for t in ref_ttq if t is not None]
+        rep[f"target_{name}"] = {
+            "ref_median_" + name: target,
+            "ref_wall_s_to_target": ref_ttq,
+            "ref_median_wall_s_to_target":
+                float(np.median(rhits)) if rhits else None,
+            "ours_wall_s_to_target": ttq,
+            "ours_median_wall_s_to_target":
+                float(np.median(hits)) if hits else None,
+            "hit_rate": f"{len(hits)}/{len(ttq)}",
+        }
     out = f"studies/results/sgd_quality_report_r5_{config}.json"
     with open(out, "w") as f:
         json.dump(rep, f, indent=1)
