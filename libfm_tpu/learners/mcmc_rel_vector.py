@@ -507,7 +507,27 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         MAIN_F.append(F)
     if mesh is not None:  # A rows must divide evenly over the data axis
         slot_pad_max = ((slot_pad_max + D - 1) // D) * D
-    A_rows = nc_pad + slot_pad_max
+
+    # Incremental test predictions (round 5, VERDICT r4 item 2): when
+    # the dataset is PURE block structure (no main-table features — the
+    # classic VLDB'13 recommender shape), test rows ride in a tail
+    # region of A as [pred | Q] and consume the same per-relation
+    # resync/w0 deltas the train rows do (test rows contribute zero
+    # stats by construction — they appear in no slot layout). The
+    # per-iteration test P-gather disappears; the periodic refresh
+    # re-grounds the tail exactly like the train region. The reference
+    # fills its test e-term cache inside the same joint prediction pass
+    # (fm_learn_mcmc.h:148-378) — this is the incremental analog.
+    # With main-table features the main sweeps would leave the tail
+    # stale, so the gather path stays.
+    nc_te_pad_a = ((max(nc_test, 1) + CU - 1) // CU) * CU
+    incr_test = (
+        len(main_blocks_host) == 0
+        and nc_test > 0
+        and getattr(learner, "bs_incr_test", True)
+    )
+    TEST_OFF = nc_pad + slot_pad_max
+    A_rows = nc_pad + slot_pad_max + (nc_te_pad_a if incr_test else 0)
 
     # re-point relation case-gather sentinels at the first dummy row
     for r in rels:
@@ -693,6 +713,11 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         tr_ids=tr_ids, tr_pv=tr_pv, te_ids=te_ids, te_pv=te_pv,
         y_tr_ch=jnp.asarray(y_tr_pad.reshape(-1, CU), dtype=f),
         mask_tr_ch=jnp.asarray(m_tr_pad.reshape(-1, CU), dtype=f),
+        mask_te_ch=jnp.asarray(
+            (np.arange(nc_te_pad_a) < nc_test)
+            .astype(np.float64).reshape(-1, CU),
+            dtype=f,
+        ),
         y_test=y_test, eval_mask=eval_mask,
         attr_group=attr_group, num_attr_per_group=num_attr_per_group,
         unobserved=unobserved, valid=valid,
@@ -702,7 +727,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         # block stacks, nb-sized caches, hyperprior tables — replicates)
         for key3 in ("tr_ids", "tr_pv", "te_ids", "te_pv"):
             statics[key3] = jax.device_put(statics[key3], sh_c3)
-        for key2 in ("y_tr_ch", "mask_tr_ch"):
+        for key2 in ("y_tr_ch", "mask_tr_ch", "mask_te_ch"):
             statics[key2] = jax.device_put(statics[key2], sh_c2)
         for dr in statics["dev_rels"]:
             dr["case_rows"] = jax.device_put(dr["case_rows"], sh_c3)
@@ -793,13 +818,37 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 *maps,
             ),
         )
+        if incr_test:
+            # re-ground the incremental test tail: [pred | Q] rows
+            maps_te = [dr["map_te"] for dr in S["dev_rels"]]
+
+            def te_chunk(A, inp):
+                ci, cids, cpv, cm = inp[:4]
+                pred, Q = _chunk_pred(w0, w, V, cids, cpv, inp[4:], scores)
+                rows = jnp.concatenate([pred[:, None], Q], axis=1)
+                rows = rows * cm[:, None]
+                return jax.lax.dynamic_update_slice(
+                    A, rows, (TEST_OFF + ci * CU, 0)
+                ), None
+
+            A, _ = jax.lax.scan(
+                te_chunk, A,
+                (
+                    jnp.arange(S["te_ids"].shape[0], dtype=jnp.int32),
+                    S["te_ids"], S["te_pv"], S["mask_te_ch"], *maps_te,
+                ),
+            )
         m1 = jnp.maximum(m1, 1.0)
         train_metric = jnp.sqrt(m0 / m1) if task == TASK_REGRESSION else m0 / m1
         return A, train_metric, lat
 
-    def predict_test(w0, w, V, S, scores=None):
+    def predict_test(w0, w, V, S, scores=None, A=None):
         if "pred" in _skip:
             return jnp.zeros((nc_test,), f)
+        if incr_test and A is not None:
+            # incremental tail: the sweeps' resync + w0 deltas maintain
+            # [pred | Q] for test rows; one slice instead of a P-gather
+            return A[TEST_OFF : TEST_OFF + nc_test, 0]
         if scores is None:
             scores = _rel_scores(w, V, S)
         maps = [dr["map_te"] for dr in S["dev_rels"]]
@@ -1236,6 +1285,32 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 resync_chunk, A,
                 (jnp.arange(nchm, dtype=jnp.int32), dr["map_tr"]),
             )
+            if incr_test:
+                # same affine update for the test tail (pred and Q take
+                # exactly the per-case e/Q deltas; test rows contribute
+                # no stats, so this is the only place they cost)
+                def resync_te(A, inp):
+                    ci, mb = inp
+                    A_chunk = jax.lax.dynamic_slice(
+                        A, (TEST_OFF + ci * CU, 0), (CU, 1 + k)
+                    )
+                    sd = SD[mb]
+                    sg = sd[:, 0]
+                    dg = sd[:, 1:]
+                    e_new = A_chunk[:, 0] + sg + (dg * A_chunk[:, 1:]).sum(-1)
+                    Q_new = A_chunk[:, 1:] + dg
+                    return jax.lax.dynamic_update_slice(
+                        A, jnp.concatenate([e_new[:, None], Q_new], axis=1),
+                        (TEST_OFF + ci * CU, 0),
+                    ), None
+
+                A, _ = jax.lax.scan(
+                    resync_te, A,
+                    (
+                        jnp.arange(dr["map_te"].shape[0], dtype=jnp.int32),
+                        dr["map_te"],
+                    ),
+                )
         return A, w, V, n_rej, key
 
     # ---------------- one iteration ----------------
@@ -1265,6 +1340,10 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
             rej += r
             A = A.at[:nc_train, 0].add(w0_new - w0)
+            if incr_test:
+                # the incremental test tail holds pred, which moves by
+                # the same bias delta
+                A = A.at[TEST_OFF : TEST_OFF + nc_test, 0].add(w0_new - w0)
             w0 = w0_new
 
         w, V = state["w"], state["V"]
@@ -1364,7 +1443,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         # prediction and the train refresh (same w, V)
         scores = _rel_scores(state["w"], state["V"], S)
         pred_test = predict_test(state["w0"], state["w"], state["V"], S,
-                                 scores=scores)
+                                 scores=scores, A=state["A"])
         key = state["key"]
         key, kr = jax.random.split(key)
         latent = state.get("latent")

@@ -2043,6 +2043,15 @@ class MCMCVectorLearner(MCMCLearner):
             start_iter, self.num_iter, self.refresh_every, ckpt_every
         ):
             its = jnp.arange(i0, i0 + L, dtype=jnp.float32)
+            if getattr(self, "capture_hlo", False):
+                # debug probe (studies/scaling_projection.py): compiled
+                # HLO + XLA cost analysis per chunk-length variant
+                self._hlo = getattr(self, "_hlo", {})
+                if L not in self._hlo:
+                    comp = run_chunk.lower(state, its, statics).compile()
+                    self._hlo[L] = dict(
+                        text=comp.as_text(), cost=comp.cost_analysis()
+                    )
             c0 = iter_clocks()
             state, ms = run_chunk(state, its, statics)
             jax.block_until_ready(state["A"])
