@@ -1814,10 +1814,13 @@ class MCMCVectorLearner(MCMCLearner):
             eval_mask = statics["eval_mask"]
             state = draw_all(state, statics)
             P = packed_params(state["w0"], state["w"], state["V"])
-            pred_test, _ = predict_padded(
-                state["w0"], P, statics["te_ids"], statics["te_pv"], nc_test,
-                want_q=False,
-            )
+            if "pred" in self._skip_phases:  # profiling only (wrong results)
+                pred_test = jnp.zeros((nc_test,), f)
+            else:
+                pred_test, _ = predict_padded(
+                    state["w0"], P, statics["te_ids"], statics["te_pv"],
+                    nc_test, want_q=False,
+                )
 
             key = state["key"]
             key, kr = jax.random.split(key)

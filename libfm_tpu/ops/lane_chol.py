@@ -91,7 +91,10 @@ def cholesky_lanes(M: jax.Array) -> jax.Array:
         R = W - p - pw
         if R:
             X = _panel_solve(Atr[pw:, :pw], Lp, pw)
-            Atr = Atr[pw:, pw:] - jnp.einsum("ipc,jpc->ijc", X, X)
+            Atr = Atr[pw:, pw:] - jnp.einsum(
+                "ipc,jpc->ijc", X, X,
+                precision=lax.Precision.HIGHEST,
+            )
             strip = jnp.concatenate(
                 [jnp.zeros((p, pw, C), M.dtype), Lp, X], axis=0
             )
@@ -132,7 +135,8 @@ def solve_lower_lanes(L: jax.Array, b: jax.Array) -> jax.Array:
         ys.append(yp)
         if W - p - pw:
             rest = rest[pw:] - jnp.einsum(
-                "rjc,jc->rc", Lt[p + pw :, p : p + pw], yp
+                "rjc,jc->rc", Lt[p + pw :, p : p + pw], yp,
+                precision=lax.Precision.HIGHEST,
             )
         else:
             rest = rest[pw:]
@@ -168,7 +172,8 @@ def solve_upper_lanes(L: jax.Array, y: jax.Array) -> jax.Array:
         if p0:
             # remaining rows r < p0: y[r] -= sum_t L[t, r] * x[t]
             rest = rest[:p0] - jnp.einsum(
-                "trc,tc->rc", Lt[p0:p, :p0], xp
+                "trc,tc->rc", Lt[p0:p, :p0], xp,
+                precision=lax.Precision.HIGHEST,
             )
         p = p0
     xt = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
