@@ -1550,7 +1550,14 @@ class MCMCVectorLearner(MCMCLearner):
                         sc, sv, sf, ck = inp
                         A_src = None
                     e_slot, qp, h = _slot_hM(sc, sv, sf, A_src)  # h [C, W, d]
-                    thf = theta_old[jnp.minimum(sf, F - 1)]
+                    if getattr(self, "_dual_slice_probe", 0):
+                        # profiling only (WRONG results for counts > c):
+                        # ceiling of the closed-form count<=c dual idea —
+                        # the W x W gram/Cholesky shrinks to c x c while
+                        # the slot gather stays W wide
+                        _c = self._dual_slice_probe
+                        h = h[:, :_c]
+                        e_slot = e_slot[:, :_c]
                     lamf = lam[jnp.minimum(sf, F - 1)]
                     muf = mu_pr[jnp.minimum(sf, F - 1)]
                     Dinv = 1.0 / lamf  # [C, d]

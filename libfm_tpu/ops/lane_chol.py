@@ -6,11 +6,21 @@ above the VPU op floor for tiny matrices (measured ~3.6 us/system at
 W=32, i.e. ~30 ms for a [8192, 32, 32] batch — about 200x the
 elementwise floor). The trick here is a layout flip: store the batch
 dimension LAST so it lives in the 128-wide vector lanes, and run the
-classical right-looking factorization as W sequential steps, each step
-one full-width masked elementwise update over all C systems at once.
-FLOPs are ~3x the minimal W^3/6 (every step updates the full [W, W]
-tile under a mask — static shapes, no gather), but every op is a dense
-[W, W, C] VPU instruction, which is the currency that matters here.
+factorization with full-width elementwise ops over all C systems at
+once.
+
+Round-5 rework: the original rank-1 right-looking loop rewrote the
+whole [W, W, C] tile W times (~34 MB x 32 steps at the BS shapes —
+the dominant draw cost, studies/results/bs_profile_r5.json). The
+blocked form factors an 8-wide pivot panel with unrolled scalar steps
+and applies ONE rank-8 trailing update per panel — W/8 full-tile
+rewrites instead of W. The panel loop is a lax.fori_loop over
+dynamic-sliced fixed-size panels (a fully unrolled python loop was
+correct but ~2.5x'd the LV sweep's compile time), with W padded to a
+multiple of 8 by an IDENTITY diagonal block (chol(blockdiag(M, I)) =
+blockdiag(chol(M), I), so the padding is exact). Panel einsums run at
+HIGHEST precision — TPU f32 einsum otherwise lowers to reduced-
+precision MXU passes, and factorization updates must not round.
 
 Used by the MCMC vector engine for the dual (Woodbury) W x W draws and
 the dense [k, k] Schur draws (learners/mcmc_vector.py). Semantics match
@@ -26,20 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-
-#: panel width for the blocked factorization/solves. 8 keeps the pivot
-#: blocks tiny (unrolled scalar steps on [8, 8, C]) while cutting the
-#: number of full-tile trailing updates by 8x — the scalar rank-1
-#: right-looking loop rewrote the whole [W, W, C] tile W times, which
-#: at W=32, C=2048 is ~34 MB x 32 steps of pure HBM traffic per
-#: factorization (the dominant cost of the BS relation draws,
-#: studies/results/bs_profile_r5.json).
+#: panel width for the blocked factorization/solves (see module doc)
 _PANEL = 8
 
 
 def _chol_block(T, pw):
     """Unrolled scalar Cholesky of one [pw, pw, C] pivot block (python
-    loop — pw is a small static panel width)."""
+    loop — pw is the small static panel width)."""
     r = np.arange(pw)[:, None]
     cols = []
     for j in range(pw):
@@ -65,47 +68,60 @@ def _panel_solve(B, Lp, pw):
     return jnp.stack(xcols, axis=1)  # [R, pw, C]
 
 
+def _pad_identity(M):
+    """Pad [C, W, W] SPD systems to W' = ceil(W/8)*8 with an identity
+    diagonal block (exact for factorization and solves)."""
+    C, W, _ = M.shape
+    Wp = -(-W // _PANEL) * _PANEL
+    if Wp == W:
+        return M, W
+    Mp = jnp.zeros((C, Wp, Wp), M.dtype)
+    Mp = Mp.at[:, :W, :W].set(M)
+    idx = jnp.arange(W, Wp)
+    Mp = Mp.at[:, idx, idx].set(1.0)
+    return Mp, W
+
+
 def cholesky_lanes(M: jax.Array) -> jax.Array:
     """Batched lower Cholesky of SPD matrices, batch-in-lanes layout.
 
     M: [C, W, W] symmetric positive definite.
     Returns L: [C, W, W] lower-triangular with M = L L^T (upper part
     zeroed), numerically equivalent to jnp.linalg.cholesky.
+    """
+    C, W0, _ = M.shape
+    Mp, _ = _pad_identity(M)
+    W = Mp.shape[1]
+    A = jnp.moveaxis(Mp, 0, -1)  # [W, W, C] — batch in lanes
+    P = _PANEL
+    row = lax.broadcasted_iota(jnp.int32, (W, 1), 0)
 
-    Blocked right-looking algorithm (panel width _PANEL): each panel
-    factors a tiny pivot block with unrolled scalar steps, solves the
-    panel with unrolled forward substitution, and applies ONE rank-pw
-    trailing update — W/_PANEL full-tile rewrites instead of W
-    (measured 4-5x less HBM traffic at W=32; see _PANEL). The
-    cross-panel updates accumulate rank-pw at once, so f32 rounding can
-    differ from the rank-1 scalar order in the last ulps — same
-    contract as any BLAS-blocked factorization."""
-    C, W, _ = M.shape
-    A = jnp.moveaxis(M, 0, -1)  # [W, W, C] — batch in lanes
-    strips = []
-    Atr = A  # trailing submatrix [W - p, W - p, C]
-    p = 0
-    while p < W:
-        pw = min(_PANEL, W - p)
-        Lp = _chol_block(Atr[:pw, :pw], pw)
-        R = W - p - pw
-        if R:
-            X = _panel_solve(Atr[pw:, :pw], Lp, pw)
-            Atr = Atr[pw:, pw:] - jnp.einsum(
-                "ipc,jpc->ijc", X, X,
-                precision=lax.Precision.HIGHEST,
-            )
-            strip = jnp.concatenate(
-                [jnp.zeros((p, pw, C), M.dtype), Lp, X], axis=0
-            )
-        else:
-            strip = jnp.concatenate(
-                [jnp.zeros((p, pw, C), M.dtype), Lp], axis=0
-            )
-        strips.append(strip)
-        p += pw
-    L = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=1)
-    return jnp.moveaxis(L, -1, 0)
+    def panel_step(pi, A):
+        p = pi * P
+        T = lax.dynamic_slice(A, (p, p, 0), (P, P, C))
+        Lp = _chol_block(T, P)
+        # full-height panel at columns [p, p+P): rows above/inside the
+        # pivot block are overwritten below; rows below solve X Lp^T = B
+        B = lax.dynamic_slice(A, (0, p, 0), (W, P, C))
+        X = _panel_solve(B, Lp, P)  # [W, P, C] (garbage above p+P)
+        below = row >= p + P  # [W, 1]
+        Xz = jnp.where(below[..., None], X, 0.0)
+        # column strip: zeros above p, Lp in the pivot rows, X below
+        strip = jnp.where(below[..., None], X, 0.0)
+        strip = lax.dynamic_update_slice(strip, Lp, (p, 0, 0))
+        A = lax.dynamic_update_slice(A, strip, (0, p, 0))
+        # trailing update — Xz is zero outside the below-rows, so the
+        # rank-P product vanishes outside the trailing block
+        A = A - jnp.einsum(
+            "ipc,jpc->ijc", Xz, Xz, precision=lax.Precision.HIGHEST
+        )
+        return A
+
+    A = lax.fori_loop(0, W // P, panel_step, A)
+    i = lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    j = lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    L = jnp.where((i >= j)[..., None], A, 0.0)
+    return jnp.moveaxis(L, -1, 0)[:, :W0, :W0]
 
 
 def solve_lower_lanes(L: jax.Array, b: jax.Array) -> jax.Array:
@@ -113,36 +129,42 @@ def solve_lower_lanes(L: jax.Array, b: jax.Array) -> jax.Array:
 
     L: [C, W, W] lower-triangular, b: [C, W]. Returns y: [C, W].
     Blocked forward substitution: unrolled scalar steps inside each
-    _PANEL, one rank-pw rhs update between panels (same blocking
-    rationale as cholesky_lanes).
+    panel, one rank-P rhs update between panels.
     """
-    C, W, _ = L.shape
-    Lt = jnp.moveaxis(L, 0, -1)  # [W, W, C]
-    rest = jnp.moveaxis(b, 0, -1)  # [W, C] — rows not yet solved
-    ys = []
-    p = 0
-    while p < W:
-        pw = min(_PANEL, W - p)
-        Lp = Lt[p : p + pw, p : p + pw]
-        bp = rest[:pw]
+    C, W0, _ = L.shape
+    Lp_, _ = _pad_identity(L)  # identity diag keeps solves exact
+    W = Lp_.shape[1]
+    Lt = jnp.moveaxis(Lp_, 0, -1)  # [W, W, C]
+    bt = jnp.moveaxis(b, 0, -1)  # [W0, C]
+    if W != W0:
+        bt = jnp.concatenate(
+            [bt, jnp.zeros((W - W0, C), b.dtype)], axis=0
+        )
+    P = _PANEL
+    row = lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+
+    def panel_step(pi, bt):
+        p = pi * P
+        Lpp = lax.dynamic_slice(Lt, (p, p, 0), (P, P, C))
+        bp = lax.dynamic_slice(bt, (p, 0), (P, C))
         ycols = []
-        for j in range(pw):
+        for j in range(P):
             acc = bp[j]
             for t in range(j):
-                acc = acc - Lp[j, t] * ycols[t]
-            ycols.append(acc / Lp[j, j])
-        yp = jnp.stack(ycols, axis=0)  # [pw, C]
-        ys.append(yp)
-        if W - p - pw:
-            rest = rest[pw:] - jnp.einsum(
-                "rjc,jc->rc", Lt[p + pw :, p : p + pw], yp,
-                precision=lax.Precision.HIGHEST,
-            )
-        else:
-            rest = rest[pw:]
-        p += pw
-    yt = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
-    return jnp.moveaxis(yt, -1, 0)
+                acc = acc - Lpp[j, t] * ycols[t]
+            ycols.append(acc / Lpp[j, j])
+        yp = jnp.stack(ycols, axis=0)  # [P, C]
+        # rank-P update of every row below the panel
+        Lcol = lax.dynamic_slice(Lt, (0, p, 0), (W, P, C))
+        upd = jnp.einsum(
+            "rjc,jc->rc", Lcol, yp, precision=lax.Precision.HIGHEST
+        )
+        bt = jnp.where(row > p + P - 1, bt - upd, bt)
+        bt = lax.dynamic_update_slice(bt, yp, (p, 0))
+        return bt
+
+    yt = lax.fori_loop(0, W // P, panel_step, bt)
+    return jnp.moveaxis(yt[:W0], -1, 0)
 
 
 def solve_upper_lanes(L: jax.Array, y: jax.Array) -> jax.Array:
@@ -151,33 +173,40 @@ def solve_upper_lanes(L: jax.Array, y: jax.Array) -> jax.Array:
     L: [C, W, W] lower-triangular, y: [C, W]. Returns x: [C, W].
     Blocked back substitution from the last panel upward.
     """
-    C, W, _ = L.shape
-    Lt = jnp.moveaxis(L, 0, -1)  # [W, W, C]
-    rest = jnp.moveaxis(y, 0, -1)  # [W, C]
-    xs = []
-    p = W
-    while p > 0:
-        pw = min(_PANEL, p)
-        p0 = p - pw
-        Lp = Lt[p0:p, p0:p]  # [pw, pw, C] lower
-        bp = rest[p0:p]
-        xcols: list = [None] * pw
-        for j in reversed(range(pw)):
+    C, W0, _ = L.shape
+    Lp_, _ = _pad_identity(L)
+    W = Lp_.shape[1]
+    Lt = jnp.moveaxis(Lp_, 0, -1)  # [W, W, C]
+    yt = jnp.moveaxis(y, 0, -1)  # [W0, C]
+    if W != W0:
+        yt = jnp.concatenate(
+            [yt, jnp.zeros((W - W0, C), y.dtype)], axis=0
+        )
+    P = _PANEL
+    row = lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+
+    def panel_step(t_, yt):
+        p = W - (t_ + 1) * P  # panel start, from the bottom
+        Lpp = lax.dynamic_slice(Lt, (p, p, 0), (P, P, C))
+        bp = lax.dynamic_slice(yt, (p, 0), (P, C))
+        xcols: list = [None] * P
+        for j in reversed(range(P)):
             acc = bp[j]
-            for t in range(j + 1, pw):
-                acc = acc - Lp[t, j] * xcols[t]  # L^T[j, t] = L[t, j]
-            xcols[j] = acc / Lp[j, j]
-        xp = jnp.stack(xcols, axis=0)  # [pw, C]
-        xs.insert(0, xp)
-        if p0:
-            # remaining rows r < p0: y[r] -= sum_t L[t, r] * x[t]
-            rest = rest[:p0] - jnp.einsum(
-                "trc,tc->rc", Lt[p0:p, :p0], xp,
-                precision=lax.Precision.HIGHEST,
-            )
-        p = p0
-    xt = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
-    return jnp.moveaxis(xt, -1, 0)
+            for t in range(j + 1, P):
+                acc = acc - Lpp[t, j] * xcols[t]  # L^T[j, t] = L[t, j]
+            xcols[j] = acc / Lpp[j, j]
+        xp = jnp.stack(xcols, axis=0)  # [P, C]
+        # update rows above the panel: y[r] -= sum_t L[p+t, r] * x[t]
+        Lrow = lax.dynamic_slice(Lt, (p, 0, 0), (P, W, C))  # [P, W, C]
+        upd = jnp.einsum(
+            "trc,tc->rc", Lrow, xp, precision=lax.Precision.HIGHEST
+        )
+        yt = jnp.where(row < p, yt - upd, yt)
+        yt = lax.dynamic_update_slice(yt, xp, (p, 0))
+        return yt
+
+    xt = lax.fori_loop(0, W // P, panel_step, yt)
+    return jnp.moveaxis(xt[:W0], -1, 0)
 
 
 def cho_solve_lanes(L: jax.Array, b: jax.Array) -> jax.Array:
