@@ -351,6 +351,26 @@ def draw_alpha(key, e, num_cases, alpha, alpha_0, gamma_0, do_multilevel, do_sam
     return jnp.where(ok, proposal, alpha), jnp.sum(~ok).astype(jnp.int32)
 
 
+def draw_alpha_from_sum(key, sum_e2, num_cases, alpha, alpha_0, gamma_0,
+                        do_multilevel, do_sample):
+    """draw_alpha when only sum(e^2) is available as a scalar (the BS
+    deferred path computes it in closed form from block-level caches —
+    mcmc_rel_vector.py). Identical formula; the f32 runaway clamp
+    applies at the sum level instead of per element (only reachable
+    mid-divergence, same keep-old recovery either way)."""
+    if not do_multilevel:
+        return (
+            jnp.asarray(alpha_0, dtype=sum_e2.dtype),
+            jnp.zeros((), jnp.int32),
+        )
+    alpha_n = alpha_0 + num_cases
+    s = jnp.where(jnp.isfinite(sum_e2), jnp.minimum(sum_e2, 1e37), 1e37)
+    gamma_n = jnp.minimum(gamma_0 + s, 1e37)
+    proposal = samplers.gamma(key, alpha_n / 2.0, gamma_n / 2.0)
+    ok = jnp.isfinite(proposal) & (proposal > 0.0)
+    return jnp.where(ok, proposal, alpha), jnp.sum(~ok).astype(jnp.int32)
+
+
 def draw_theta_hyperpriors(
     key,
     theta,  # [n] (w) or [n] per-factor column handled by caller as [G]-sums

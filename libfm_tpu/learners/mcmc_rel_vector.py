@@ -646,6 +646,29 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     # the jit-passed statics dict would be traced)
     REL_NB = [r.nb for r in rels]
     REL_SHAPES = [[(st.F_pad, st.E_pad) for st in r.stacks] for r in rels]
+    # Deferred per-case work (round 5): for SINGLE-relation pure-BS
+    # regression, the per-case cache rebuild and resync move to the
+    # refresh cadence — the frozen block-row caches + the accumulated
+    # SD = [s | dQB] describe every case's (e, Q) exactly (the same
+    # corrected() algebra the within-sweep draws already use), so fast
+    # iterations touch only O(nb k^2) block-level state: alpha/w0 and
+    # the train metric come from closed-form sums (_deferred_sums), and
+    # test predictions read the refresh-frozen A tail + SD[map]. Gated:
+    # classification resamples per-case latents every iteration, and
+    # MULTIPLE relations would need cross-relation joint aggregates for
+    # the e^2 sums; both keep the per-iteration resync path.
+    deferred = (
+        task == TASK_REGRESSION
+        and len(rels) == 1
+        and not main_blocks_host
+        and incr_test
+        and mesh is None
+        and getattr(learner, "bs_deferred", True)
+        and not getattr(learner, "_skip_phases", frozenset())
+    )
+    _ext0 = (
+        max((Ep for (_, Ep) in REL_SHAPES[0]), default=1) if deferred else 0
+    )
     _slabs_all = [_slab_case_layout(r.case_rows) for r in rels]
     # static (lo, size) metadata in the closure; device arrays in statics
     REL_SLAB_META = [
@@ -957,11 +980,13 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     _skip = getattr(learner, "_skip_phases", frozenset())
 
     def build_rel_caches(A, dr, nb, slab_meta):
-        """Frozen per-block-row caches (we0, SQ0, SQe0, SQQ0), each with a
-        zero sentinel row nb."""
+        """Frozen per-block-row caches (we0, we2_0, SQ0, SQe0, SQQ0),
+        each with a zero sentinel row nb. we2_0 = sum e0^2 serves the
+        deferred path's closed-form alpha/metric sums."""
         if "caches" in _skip:
             return (
-                jnp.zeros((nb + 1,), f), jnp.zeros((nb + 1, k), f),
+                jnp.zeros((nb + 1,), f), jnp.zeros((nb + 1,), f),
+                jnp.zeros((nb + 1, k), f),
                 jnp.zeros((nb + 1, k), f), jnp.zeros((nb + 1, k, k), f),
             )
 
@@ -969,19 +994,21 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             e_r = rows[..., 0]
             Q_r = rows[..., 1:]
             we = e_r.sum(axis=1)
+            we2 = (e_r * e_r).sum(axis=1)
             SQ = Q_r.sum(axis=1)
             SQe = (Q_r * e_r[..., None]).sum(axis=1)
             SQQ = _einsum_hp(
                 "rlf,rlg->rfg", Q_r, Q_r,
                 preferred_element_type=acc_t,
             ).astype(f)
-            return we, SQ, SQe, SQQ
+            return we, we2, SQ, SQe, SQQ
 
         if dr["slab_rows"] is not None:
             # slab-partitioned gathers (see _slab_case_layout): each
             # slab's case rows gather from an on-chip slice of A; the
             # order-free per-block sums accumulate across slabs
             we = jnp.zeros((nb,), f)
+            we2 = jnp.zeros((nb,), f)
             SQ = jnp.zeros((nb, k), f)
             SQe = jnp.zeros((nb, k), f)
             SQQ = jnp.zeros((nb, k, k), f)
@@ -992,11 +1019,12 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                     g_c, w_c = gw
                     return None, moments(As[g_c] * w_c[..., None])
 
-                _, (we_s, SQ_s, SQe_s, SQQ_s) = jax.lax.scan(
+                _, (we_s, we2_s, SQ_s, SQe_s, SQQ_s) = jax.lax.scan(
                     chunk_s, None, (sl["g"], sl["w"])
                 )
                 nbp = we_s.shape[0] * we_s.shape[1]
                 we = we + we_s.reshape(nbp)[:nb]
+                we2 = we2 + we2_s.reshape(nbp)[:nb]
                 SQ = SQ + SQ_s.reshape(nbp, k)[:nb]
                 SQe = SQe + SQe_s.reshape(nbp, k)[:nb]
                 SQQ = SQQ + SQQ_s.reshape(nbp, k, k)[:nb]
@@ -1004,27 +1032,65 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             def chunk(_, case_ids):  # [RC, Lb]
                 return None, moments(A[case_ids])
 
-            _, (we, SQ, SQe, SQQ) = jax.lax.scan(chunk, None, dr["case_rows"])
+            _, (we, we2, SQ, SQe, SQQ) = jax.lax.scan(
+                chunk, None, dr["case_rows"]
+            )
             nb_pad = we.shape[0] * we.shape[1]
             we = we.reshape(nb_pad)[:nb]
+            we2 = we2.reshape(nb_pad)[:nb]
             SQ = SQ.reshape(nb_pad, k)[:nb]
             SQe = SQe.reshape(nb_pad, k)[:nb]
             SQQ = SQQ.reshape(nb_pad, k, k)[:nb]
         pad1 = ((0, 1),)
         return (
             jnp.pad(we, pad1),
+            jnp.pad(we2, pad1),
             jnp.pad(SQ, ((0, 1), (0, 0))),
             jnp.pad(SQe, ((0, 1), (0, 0))),
             jnp.pad(SQQ, ((0, 1), (0, 0), (0, 0))),
         )
 
+    def _deferred_sums(caches, SD, wnum, nb):
+        """Closed-form (sum e, sum e^2) over the train cases from the
+        frozen caches + accumulated SD: per block row b, every case
+        satisfies e = e0 + c_b(Q0) with c_b = s_b + dq_b . Q0(case), so
+          sum_b e   = we0 + wnum s + dq . SQ0
+          sum_b e^2 = we2_0 + 2 s we0 + 2 dq . SQe0
+                      + wnum s^2 + 2 s (dq . SQ0) + dq^T SQQ0 dq
+        O(nb k^2) elementwise — no per-case pass. Exact for a SINGLE
+        relation (cross-relation c_b1 c_b2 terms would need joint
+        aggregates)."""
+        we0, we2_0, SQ0, SQe0, SQQ0 = caches
+        s = SD[: nb + 1, 0]
+        dq = SD[: nb + 1, 1:]
+        dqSQ = (dq * SQ0).sum(-1)
+        sum_e = we0 + wnum * s + dqSQ
+        dqSQQdq = jnp.einsum(
+            "bf,bfg,bg->b", dq, SQQ0, dq,
+            preferred_element_type=acc_t,
+        ).astype(f)
+        sum_e2 = (
+            we2_0 + 2.0 * s * we0 + 2.0 * (dq * SQe0).sum(-1)
+            + wnum * s * s + 2.0 * s * dqSQ + dqSQQdq
+        )
+        return sum_e.sum(), sum_e2.sum()
+
     def sweep_relation(A, w, V, dr, nb, shapes, slab_meta, alpha, w_mu_g,
                        w_lambda_g,
-                       v_mu_g, v_lambda_g, key):
+                       v_mu_g, v_lambda_g, key, caches=None, SD0=None,
+                       skip_resync=False):
+        """One Gibbs sweep over a relation's features. Deferred mode
+        (caches/SD0 given + skip_resync): the frozen caches come from
+        state instead of a fresh A pass, SD accumulates ACROSS
+        iterations, and the per-case resync is left to the refresh —
+        the corrected() algebra is already exact for any accumulated
+        (s, dQB) relative to the frozen base."""
         if "rel" in _skip:
-            return A, w, V, jnp.zeros((), jnp.int32), key
+            return A, w, V, jnp.zeros((), jnp.int32), key, SD0
         wnum = dr["wnum"]  # [nb+1]
-        we0, SQ0, SQe0, SQQ0 = build_rel_caches(A, dr, nb, slab_meta)
+        if caches is None:
+            caches = build_rel_caches(A, dr, nb, slab_meta)
+        we0, _we2_0, SQ0, SQe0, SQQ0 = caches
         # s/dQB live PACKED as one [nb+1+ext, 1+k] table SD = [s | dQB]:
         # every consumer reads/writes both at the same block row, and on
         # TPU a row gather costs ~10-15 ns per ROW regardless of width,
@@ -1036,7 +1102,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         # exact zeros (pad x == 0) and are never read back (reads use
         # entry_b, whose pads point at the zero row nb).
         ext = max((Ep for (_, Ep) in shapes), default=1)
-        SD = jnp.zeros((nb + 1 + ext, 1 + k), f)
+        SD = SD0 if SD0 is not None else jnp.zeros((nb + 1 + ext, 1 + k), f)
         n_rej = jnp.zeros((), jnp.int32)
         # symmetric QQ moment packing (same trick as the flat engine's
         # case-major stats): the x^2-weighted SQQ moment is bitwise
@@ -1279,7 +1345,7 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             )
             return A, None
 
-        if "resync" not in _skip:
+        if "resync" not in _skip and not skip_resync:
             nchm = dr["map_tr"].shape[0]
             A, _ = jax.lax.scan(
                 resync_chunk, A,
@@ -1311,26 +1377,38 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                         dr["map_te"],
                     ),
                 )
-        return A, w, V, n_rej, key
+        return A, w, V, n_rej, key, SD
 
     # ---------------- one iteration ----------------
     def draw_all(state, S):
         key = state["key"]
         rej = jnp.zeros((), jnp.int32)
         A = state["A"]
-        e = A[:nc_train, 0]
+        SD_def = state.get("SD")
 
         key, k1 = jax.random.split(key)
-        alpha, r = draw_alpha(
-            k1, e, nc_train, state["alpha"], alpha_0, gamma_0,
-            do_multilevel, do_sample,
-        )
+        if deferred:
+            from libfm_tpu.learners.mcmc import draw_alpha_from_sum
+
+            sum_e, sum_e2 = _deferred_sums(
+                state["relc"], SD_def, S["dev_rels"][0]["wnum"], REL_NB[0]
+            )
+            alpha, r = draw_alpha_from_sum(
+                k1, sum_e2, nc_train, state["alpha"], alpha_0, gamma_0,
+                do_multilevel, do_sample,
+            )
+        else:
+            e = A[:nc_train, 0]
+            alpha, r = draw_alpha(
+                k1, e, nc_train, state["alpha"], alpha_0, gamma_0,
+                do_multilevel, do_sample,
+            )
         rej += r
 
         w0 = state["w0"]
         if use_bias and "alphaw0" not in _skip:
             key, k1 = jax.random.split(key)
-            acc = jnp.sum(e) - nc_train * w0
+            acc = (sum_e if deferred else jnp.sum(e)) - nc_train * w0
             sigma_sqr = 1.0 / (learner.reg0 + alpha * nc_train)
             mean = -sigma_sqr * (alpha * acc - learner.w0_mean_0 * learner.reg0)
             prop = (
@@ -1339,11 +1417,21 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             )
             w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
             rej += r
-            A = A.at[:nc_train, 0].add(w0_new - w0)
-            if incr_test:
-                # the incremental test tail holds pred, which moves by
-                # the same bias delta
-                A = A.at[TEST_OFF : TEST_OFF + nc_test, 0].add(w0_new - w0)
+            if deferred:
+                # every case maps to exactly one block row of the single
+                # relation: folding the bias delta into the REAL rows'
+                # s-column moves every e by the same constant (the
+                # sentinel row stays zero; pad entries read it but have
+                # x = 0, so their stats stay exact zeros)
+                SD_def = SD_def.at[: REL_NB[0], 0].add(w0_new - w0)
+            else:
+                A = A.at[:nc_train, 0].add(w0_new - w0)
+                if incr_test:
+                    # the incremental test tail holds pred, which moves
+                    # by the same bias delta
+                    A = A.at[TEST_OFF : TEST_OFF + nc_test, 0].add(
+                        w0_new - w0
+                    )
             w0 = w0_new
 
         w, V = state["w"], state["V"]
@@ -1398,10 +1486,15 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         for nb_r, shp, slm, dr in zip(
             REL_NB, REL_SHAPES, REL_SLAB_META, S["dev_rels"]
         ):
-            A, w, V, r, key = sweep_relation(
+            A, w, V, r, key, SD_out = sweep_relation(
                 A, w, V, dr, nb_r, shp, slm, alpha, w_mu, w_lambda, v_mu,
                 v_lambda, key,
+                caches=state["relc"] if deferred else None,
+                SD0=SD_def if deferred else None,
+                skip_resync=deferred,
             )
+            if deferred:
+                SD_def = SD_out
             rej += r
 
         if n_unobs and "unobs" not in _skip:
@@ -1429,11 +1522,14 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 w = w.at[S["unobserved"]].set(w_u, unique_indices=True)
             V = V.at[S["unobserved"]].set(v_u, unique_indices=True)
 
-        return dict(
+        out = dict(
             state, A=A, w0=w0, w=w, V=V, alpha=alpha,
             w_mu=w_mu, w_lambda=w_lambda, v_mu=v_mu, v_lambda=v_lambda,
             key=key, rejected=rej,
         )
+        if deferred:
+            out["SD"] = SD_def
+        return out
 
     from functools import partial
 
@@ -1442,8 +1538,32 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
         # one set of per-relation block scores serves both the test
         # prediction and the train refresh (same w, V)
         scores = _rel_scores(state["w"], state["V"], S)
-        pred_test = predict_test(state["w0"], state["w"], state["V"], S,
-                                 scores=scores, A=state["A"])
+        if deferred:
+            # test predictions: refresh-frozen [pred0 | Q0] tail + the
+            # accumulated SD corrections (one SD gather per test case —
+            # the only per-case work of a deferred fast iteration)
+            SD_now = state["SD"]
+            map_te = S["dev_rels"][0]["map_te"]
+
+            def _te_chunk(_, inp):
+                ci, mb = inp
+                A_chunk = jax.lax.dynamic_slice(
+                    state["A"], (TEST_OFF + ci * CU, 0), (CU, 1 + k)
+                )
+                sd = SD_now[mb]
+                return None, (
+                    A_chunk[:, 0] + sd[:, 0]
+                    + (sd[:, 1:] * A_chunk[:, 1:]).sum(-1)
+                )
+
+            _, preds = jax.lax.scan(
+                _te_chunk, None,
+                (jnp.arange(map_te.shape[0], dtype=jnp.int32), map_te),
+            )
+            pred_test = preds.reshape(-1)[:nc_test]
+        else:
+            pred_test = predict_test(state["w0"], state["w"], state["V"],
+                                     S, scores=scores, A=state["A"])
         key = state["key"]
         key, kr = jax.random.split(key)
         latent = state.get("latent")
@@ -1454,6 +1574,16 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
                 state["w0"], state["w"], state["V"], kr, S, state["A"],
                 scores=scores,
             )
+            if deferred:
+                # re-ground the deferred state on the fresh A: rebuild
+                # the frozen block-row caches, zero the accumulated SD
+                state = dict(
+                    state,
+                    relc=build_rel_caches(
+                        A, S["dev_rels"][0], REL_NB[0], REL_SLAB_META[0]
+                    ),
+                    SD=jnp.zeros_like(state["SD"]),
+                )
         elif task != TASK_REGRESSION:
             # classification fast path (refresh_every > 1): same
             # persistent-probit-latent scheme as the flat engine
@@ -1492,6 +1622,21 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
             e_new = (pred_ch - lat_new) * m_ch
             A = A.at[: nchunk_ * C_, 0].set(e_new.reshape(-1))
             latent = lat_new
+        elif deferred:
+            # deferred fast path: the train metric comes from the
+            # closed-form e^2 sum over block rows — no per-case pass.
+            # (Reported WITHOUT the target clamp, which binds only for
+            # out-of-range predictions; refresh iterations report the
+            # exact clamped metric. Diagnostic only — test metrics are
+            # per-case and exact.)
+            A = state["A"]
+            _, sum_e2_now = _deferred_sums(
+                state["relc"], state["SD"], S["dev_rels"][0]["wnum"],
+                REL_NB[0],
+            )
+            train_metric = jnp.sqrt(
+                jnp.maximum(sum_e2_now, 0.0) / max(nc_train, 1)
+            )
         else:
             # regression fast path (refresh_every > 1): the sweeps'
             # resync pass maintains A = [e | Q] incrementally and
@@ -1608,6 +1753,15 @@ def learn_relational_vector(learner, train: Dataset, test: Dataset):
     if task != TASK_REGRESSION:
         # probit latents (classification fast path; checkpointed state)
         state["latent"] = lat0
+    if deferred:
+        # frozen block-row caches + cross-iteration SD (checkpointed
+        # with the rest of the sampler state; a checkpoint written by
+        # the non-deferred engine has a different tree and restores
+        # fresh — _maybe_restore's structure check)
+        state["relc"] = build_rel_caches(
+            A0, statics["dev_rels"][0], REL_NB[0], REL_SLAB_META[0]
+        )
+        state["SD"] = jnp.zeros((REL_NB[0] + 1 + _ext0, 1 + k), f)
 
     learner.history = []
     start_iter = 0

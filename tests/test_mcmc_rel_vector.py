@@ -468,3 +468,80 @@ def test_bs_vector_refresh_cadence_matches_every_iteration():
     got_tr = [h["train"] for h in b.history]
     want_tr = [h["train"] for h in a.history]
     assert np.allclose(got_tr, want_tr, atol=5e-3), (got_tr, want_tr)
+
+
+def _single_rel_problem(seed=7, NB=60, W=5, NF=200, NTR=3000):
+    """Pure-BS single-relation regression (the bench_bs shape, tiny):
+    the deferred fast-iteration path's gated case."""
+    rng = np.random.default_rng(seed)
+    cols = np.stack(
+        [np.sort(rng.choice(NF, W, replace=False)) for _ in range(NB)]
+    ).astype(np.int32)
+    vals = rng.standard_normal((NB, W)).astype(np.float32)
+    rd = RelationData(
+        np.arange(NB + 1, dtype=np.int64) * W, cols.ravel(), vals.ravel(),
+        NF,
+    )
+    rd.attr_offset = 0
+    beta = rng.standard_normal(NF).astype(np.float32) * 0.1
+    score = (vals * beta[cols]).sum(axis=1)
+
+    def build(m, y):
+        nc = len(y)
+        ds = Dataset(
+            np.zeros(nc + 1, np.int64), np.empty(0, np.int32),
+            np.empty(0, np.float32), y, 0,
+        )
+        ds.relations = [RelationJoin(rd, m)]
+        return ds
+
+    mtr = rng.integers(0, NB, NTR).astype(np.int32)
+    mte = rng.integers(0, NB, NTR // 5).astype(np.int32)
+    train = build(
+        mtr, (score[mtr] + 0.2 * rng.standard_normal(NTR)).astype(np.float32)
+    )
+    test = build(
+        mte,
+        (score[mte] + 0.2 * rng.standard_normal(NTR // 5)).astype(np.float32),
+    )
+    return train, test, NF
+
+
+def test_bs_deferred_matches_per_iteration():
+    """Round 5: the deferred fast-iteration path (frozen caches +
+    cross-iteration SD, closed-form alpha/w0/metric sums, per-case work
+    only at refresh) must track the per-iteration resync path — same
+    chain up to f32 drift."""
+    train, test, nf = _single_rel_problem()
+    cfg = FMConfig(num_features=nf, num_factors=4)
+    hist = {}
+    for mode in (True, False):
+        lr = _force_bs_vector(
+            MCMCVectorLearner(cfg, num_iter=10, seed=3, verbose=False)
+        )
+        lr.bs_deferred = mode
+        lr.learn(train, test)
+        assert lr.relational_mode == "bs_vector"
+        hist[mode] = lr.history
+    for ra, rb in zip(hist[True], hist[False]):
+        assert abs(ra["test_all"] - rb["test_all"]) < 5e-4, (ra, rb)
+        assert abs(ra["alpha"] - rb["alpha"]) / max(rb["alpha"], 1e-6) < 0.05
+
+
+def test_bs_deferred_als_exact_trajectory():
+    """ALS (deterministic draws) under the deferred path: trajectory
+    equality with the per-iteration path is a sharp algebra check (no
+    sampling noise to hide behind)."""
+    train, test, nf = _single_rel_problem(seed=9)
+    cfg = FMConfig(num_features=nf, num_factors=3, regw=0.2, regv=0.2)
+    hist = {}
+    for mode in (True, False):
+        lr = _force_bs_vector(
+            MCMCVectorLearner(cfg, num_iter=8, seed=5, verbose=False,
+                              do_sample=False, do_multilevel=False)
+        )
+        lr.bs_deferred = mode
+        lr.learn(train, test)
+        hist[mode] = lr.history
+    for ra, rb in zip(hist[True], hist[False]):
+        assert abs(ra["test_this"] - rb["test_this"]) < 2e-4, (ra, rb)
