@@ -149,18 +149,28 @@ class DevLayout:
     # cases out of range), precomputed host-side; drives the case-major
     # one-hot moment-matmul stats for small-F blocks (None = ineligible)
     stats_map: jax.Array | None = None
+    # incremental-test-tail update chunks (round 5): per TEST case, the
+    # block-local feature id / value ([nch_te, CU]; None when the tail
+    # is disabled). Test rows consume the same per-feature deltas as
+    # train rows but contribute no stats — the per-iteration test
+    # P-gather disappears (measured ceiling 48 ms/iter on the ML-10M
+    # headline, studies/results/flat_pred_probe_r5.json).
+    te_col: jax.Array | None = None
+    te_val: jax.Array | None = None
 
     def tree_flatten(self):
         return (
             self.features, self.groups, self.buckets, self.dual_buckets,
             self.dense_feats, self.up_col, self.up_val, self.stats_map,
+            self.te_col, self.te_val,
         ), (self.F, self.F_dense)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             *children[:5], up_col=children[5], up_val=children[6],
-            stats_map=children[7], F=aux[0], F_dense=aux[1],
+            stats_map=children[7], te_col=children[8], te_val=children[9],
+            F=aux[0], F_dense=aux[1],
         )
 
 
@@ -844,7 +854,9 @@ class MCMCVectorLearner(MCMCLearner):
         if observed_list:
             _obs_mask[np.concatenate(observed_list)] = False
         unobserved_np = np.nonzero(_obs_mask)[0].astype(np.int32)
-        del observed_list, _obs_mask
+        del _obs_mask  # observed_list stays: the incremental-test-tail
+        # build below maps test entries to block-local ids per layout
+        # (~4 B/feature of host memory)
         unobserved = jnp.asarray(unobserved_np)
         n_unobs = int(unobserved_np.shape[0])
 
@@ -958,6 +970,69 @@ class MCMCVectorLearner(MCMCLearner):
         eval_mask = jnp.asarray(
             (np.arange(nc_test) < nec).astype(np.float64), dtype=f
         )
+
+        # Incremental test tail (round 5, VERDICT r4 item 3): test rows
+        # ride a tail region of A as [pred | Q], consuming each block's
+        # per-feature deltas through the same case-major dense update as
+        # train rows (they contribute zero stats — they sit in no slot
+        # layout / stats_map). The per-iteration test P-gather
+        # disappears (48 ms/iter on the ML-10M headline, 19 on CTR —
+        # studies/results/flat_pred_probe_r5.json); the periodic refresh
+        # re-grounds the tail. Requires every layout to have the dense
+        # update path, test rows conflict-free within each block, and
+        # value patterns matching the layout's one-hot compression.
+        incr_te = (
+            mesh is None
+            and nc_test > 0
+            and not test_is_stream
+            and not is_stream
+            and len(dev_layouts) > 0
+            and all(dl.up_col is not None for dl in dev_layouts)
+            and getattr(self, "flat_incr_test", True)
+        )
+        if incr_te:
+            C_te_rows = te_ids.shape[1]
+            te_tail_rows = (
+                (max(te_ids.shape[0] * C_te_rows,
+                     ((nc_test + CU - 1) // CU) * CU) + CU - 1) // CU
+            ) * CU
+            te_cols_np = np.asarray(test.cols)
+            te_rows_np = test.row_of_entry
+            te_vals_np = np.asarray(test.vals, dtype=np.float32)
+            for li, dl in enumerate(dev_layouts):
+                F_l = dl.F
+                lf = observed_list[li].astype(np.int64)
+                loc = np.full(n_pad, F_l, np.int32)
+                loc[lf] = np.arange(F_l, dtype=np.int32)
+                lc = loc[te_cols_np]
+                m_ent = lc != F_l
+                rows_l = te_rows_np[m_ent]
+                if len(rows_l) and np.bincount(
+                    rows_l, minlength=nc_test
+                ).max() > 1:
+                    # a test case holds two features of one block: the
+                    # single-slot-per-case update cannot represent it
+                    incr_te = False
+                    break
+                col_l = np.full(te_tail_rows, F_l, np.int32)
+                val_l = np.zeros(te_tail_rows, np.float32)
+                col_l[rows_l] = lc[m_ent]
+                val_l[rows_l] = te_vals_np[m_ent]
+                if dl.up_val is None and not (
+                    val_l[col_l != F_l] == 1.0
+                ).all():
+                    incr_te = False  # train one-hot, test not: mismatch
+                    break
+                dl.te_col = jnp.asarray(col_l.reshape(-1, CU))
+                dl.te_val = (
+                    None if dl.up_val is None
+                    else jnp.asarray(val_l.reshape(-1, CU), dtype=f)
+                )
+            if not incr_te:
+                for dl in dev_layouts:
+                    dl.te_col = dl.te_val = None
+        else:
+            te_tail_rows = 0
 
         key = jax.random.PRNGKey(self.seed)
         key, kw, kv = jax.random.split(key, 3)
@@ -1074,6 +1149,26 @@ class MCMCVectorLearner(MCMCLearner):
                  statics["tr_ids"], statics["tr_pv"], statics["y_tr_ch"],
                  statics["mask_tr_ch"], ckeys),
             )
+            if incr_te:
+                # re-ground the incremental test tail: [pred | Q] rows
+                # (pad rows get harmless values — never read, and their
+                # update slots carry the sentinel feature)
+                C_te = statics["te_ids"].shape[1]
+
+                def te_chunk(A, inp):
+                    ci, cids, cpv = inp
+                    pred, Q = _chunk_pred_q(w0, P, cids, cpv)
+                    rows = jnp.concatenate([pred[:, None], Q], axis=1)
+                    return jax.lax.dynamic_update_slice(
+                        A, rows, (TEST_OFF + ci * C_te, 0)
+                    ), None
+
+                A, _ = jax.lax.scan(
+                    te_chunk, A,
+                    (jnp.arange(statics["te_ids"].shape[0],
+                                dtype=jnp.int32),
+                     statics["te_ids"], statics["te_pv"]),
+                )
             m1 = jnp.maximum(m1, 1.0)
             train_metric = (
                 jnp.sqrt(m0 / m1) if task == TASK_REGRESSION else m0 / m1
@@ -1670,6 +1765,47 @@ class MCMCVectorLearner(MCMCLearner):
                     (iot, lay.up_col) if onehot
                     else (iot, lay.up_col, lay.up_val),
                 )
+                if incr_te and lay.te_col is not None:
+                    # incremental test tail: same per-case dense update
+                    # at the tail offset (test rows take the parameter
+                    # deltas; they contributed nothing to the stats)
+                    def upd_dense_te(A, inp):
+                        if onehot:
+                            ci, cb = inp
+                            vb = (cb != lay.F).astype(f)
+                        else:
+                            ci, cb, vb = inp
+                        A_chunk = jax.lax.dynamic_slice(
+                            A, (TEST_OFF + ci * CU, 0), (CU, 1 + k)
+                        )
+                        dlt = upd_tab[cb]
+                        dpred = vb * (
+                            dlt[:, 0]
+                            + jnp.einsum(
+                                "ck,ck->c", A_chunk[:, 1:],
+                                dlt[:, 1 : 1 + k],
+                            )
+                        ) - (vb * vb) * dlt[:, 1 + k]
+                        rows = jnp.concatenate(
+                            [dpred[:, None],
+                             vb[:, None] * dlt[:, 1 : 1 + k]],
+                            axis=1,
+                        )
+                        return (
+                            jax.lax.dynamic_update_slice(
+                                A, A_chunk + rows, (TEST_OFF + ci * CU, 0)
+                            ),
+                            None,
+                        )
+
+                    iot_te = jnp.arange(
+                        lay.te_col.shape[0], dtype=jnp.int32
+                    )
+                    A, _ = jax.lax.scan(
+                        upd_dense_te, A,
+                        (iot_te, lay.te_col) if onehot
+                        else (iot_te, lay.te_col, lay.te_val),
+                    )
                 upd_buckets = []
             else:
                 upd_buckets = lay.buckets + lay.dual_buckets
@@ -1735,6 +1871,12 @@ class MCMCVectorLearner(MCMCLearner):
                 w0_new, r = samplers.finite_or(prop, w0, bound=draw_bound)
                 rej += r
                 A = A.at[:nc_train, 0].add(w0_new - w0)
+                if incr_te:
+                    # the test tail holds pred, which moves by the bias
+                    # delta too
+                    A = A.at[TEST_OFF : TEST_OFF + nc_test, 0].add(
+                        w0_new - w0
+                    )
                 w0 = w0_new
 
             w, V = state["w"], state["V"]
@@ -1823,6 +1965,10 @@ class MCMCVectorLearner(MCMCLearner):
             P = packed_params(state["w0"], state["w"], state["V"])
             if "pred" in self._skip_phases:  # profiling only (wrong results)
                 pred_test = jnp.zeros((nc_test,), f)
+            elif incr_te:
+                # incremental tail: the update passes + w0 delta keep
+                # [pred | Q] current; one slice instead of a P-gather
+                pred_test = state["A"][TEST_OFF : TEST_OFF + nc_test, 0]
             else:
                 pred_test, _ = predict_padded(
                     state["w0"], P, statics["te_ids"], statics["te_pv"],
@@ -1974,7 +2120,8 @@ class MCMCVectorLearner(MCMCLearner):
             return state, jax.tree.map(lambda b: b[None], m_last)
 
         # ---------------- init & loop ----------------
-        A_rows = nc_train + SLOT_BUDGET
+        TEST_OFF = nc_train + SLOT_BUDGET  # incremental test tail start
+        A_rows = nc_train + SLOT_BUDGET + te_tail_rows
         if mesh is not None:
             # the data-sharded A table must split evenly over `data`;
             # extra rows extend the dummy tail (never read, zero writes)
