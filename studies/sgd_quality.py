@@ -184,8 +184,10 @@ def phase_ours(config, seeds, iters, lr, bs):
         res.append(r)
         print(json.dumps({k: v for k, v in r.items() if k != "traj"}),
               flush=True)
-    with open(f"{c['work']}/ours_results.json", "w") as f:
-        json.dump(res, f)
+        # write after EVERY seed: a wedged TPU tunnel mid-run must not
+        # lose the finished seeds (cost one 35-min re-run in round 5)
+        with open(f"{c['work']}/ours_results.json", "w") as f:
+            json.dump(res, f)
 
 
 def phase_sweep(config, iters, grid=None):
