@@ -1653,6 +1653,7 @@ class MCMCVectorLearner(MCMCLearner):
                         _c = self._dual_slice_probe
                         h = h[:, :_c]
                         e_slot = e_slot[:, :_c]
+                    thf = theta_old[jnp.minimum(sf, F - 1)]
                     lamf = lam[jnp.minimum(sf, F - 1)]
                     muf = mu_pr[jnp.minimum(sf, F - 1)]
                     Dinv = 1.0 / lamf  # [C, d]
