@@ -988,7 +988,7 @@ class MCMCVectorLearner(MCMCLearner):
             and not is_stream
             and len(dev_layouts) > 0
             and all(dl.up_col is not None for dl in dev_layouts)
-            and getattr(self, "flat_incr_test", True)
+            and getattr(self, "flat_incr_test", False)
         )
         if incr_te:
             C_te_rows = te_ids.shape[1]

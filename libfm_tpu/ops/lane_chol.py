@@ -14,11 +14,13 @@ whole [W, W, C] tile W times (~34 MB x 32 steps at the BS shapes —
 the dominant draw cost, studies/results/bs_profile_r5.json). The
 blocked form factors an 8-wide pivot panel with unrolled scalar steps
 and applies ONE rank-8 trailing update per panel — W/8 full-tile
-rewrites instead of W. The panel loop is a lax.fori_loop over
-dynamic-sliced fixed-size panels (a fully unrolled python loop was
-correct but ~2.5x'd the LV sweep's compile time), with W padded to a
-multiple of 8 by an IDENTITY diagonal block (chol(blockdiag(M, I)) =
-blockdiag(chol(M), I), so the padding is exact). Panel einsums run at
+rewrites instead of W. The panel loop is UNROLLED for W <= 80 (static
+slices fuse; the fori form measured ~0.9 s/iter slower on config #5's
+W=32 dual pass) and a lax.fori_loop over dynamic-sliced fixed-size
+panels above (unrolling d=129 panels ~2.5x'd the LV compile), with W
+padded to a multiple of 8 by an IDENTITY diagonal block
+(chol(blockdiag(M, I)) = blockdiag(chol(M), I), so the padding is
+exact). Panel einsums run at
 HIGHEST precision — TPU f32 einsum otherwise lowers to reduced-
 precision MXU passes, and factorization updates must not round.
 
@@ -117,7 +119,15 @@ def cholesky_lanes(M: jax.Array) -> jax.Array:
         )
         return A
 
-    A = lax.fori_loop(0, W // P, panel_step, A)
+    # W <= 80: unroll the panel loop (static slices fuse; measured
+    # ~0.9 s/iter runtime cost of the fori form on config #5's dual
+    # pass and ~45 ms on the ML-10M dense draws). Larger W keeps the
+    # fori form — unrolling d=129 panels ~2.5x'd the LV compile.
+    if W <= 80:
+        for pi in range(W // P):
+            A = panel_step(pi, A)
+    else:
+        A = lax.fori_loop(0, W // P, panel_step, A)
     i = lax.broadcasted_iota(jnp.int32, (W, W), 0)
     j = lax.broadcasted_iota(jnp.int32, (W, W), 1)
     L = jnp.where((i >= j)[..., None], A, 0.0)
@@ -163,7 +173,12 @@ def solve_lower_lanes(L: jax.Array, b: jax.Array) -> jax.Array:
         bt = lax.dynamic_update_slice(bt, yp, (p, 0))
         return bt
 
-    yt = lax.fori_loop(0, W // P, panel_step, bt)
+    if W <= 80:  # see cholesky_lanes: unroll small W for fusion
+        yt = bt
+        for pi in range(W // P):
+            yt = panel_step(pi, yt)
+    else:
+        yt = lax.fori_loop(0, W // P, panel_step, bt)
     return jnp.moveaxis(yt[:W0], -1, 0)
 
 
@@ -205,7 +220,12 @@ def solve_upper_lanes(L: jax.Array, y: jax.Array) -> jax.Array:
         yt = lax.dynamic_update_slice(yt, xp, (p, 0))
         return yt
 
-    xt = lax.fori_loop(0, W // P, panel_step, yt)
+    if W <= 80:  # see cholesky_lanes: unroll small W for fusion
+        xt = yt
+        for t_ in range(W // P):
+            xt = panel_step(t_, xt)
+    else:
+        xt = lax.fori_loop(0, W // P, panel_step, yt)
     return jnp.moveaxis(xt[:W0], -1, 0)
 
 
