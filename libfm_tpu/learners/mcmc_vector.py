@@ -99,6 +99,13 @@ class DevBucket:
     # engine stores them with dynamic_update_slice instead of the
     # fat-row scatter-add (0.51 s/iter of the ML-10M headline)
     slice_store: bool = False
+    # dual buckets only (round 5): every segment in this bucket has at
+    # most `dual_c` REAL slots (zipf tails make count<=2 ~60% of dual
+    # features at config #5's shape) — the Woodbury gram/Cholesky runs
+    # on the [:, :dual_c] slot window instead of the full W (measured
+    # ceiling 0.82 s/iter on config #5,
+    # studies/results/lv_dual_probe_r5.json). 0 = full width.
+    dual_c: int = 0
     # (a round-4 "segment-combine" stats store lived here — per-chunk
     # one-hot reduction onto a local feature window before the GG
     # write. Removed round 5: measured NEUTRAL on its designed config
@@ -110,13 +117,13 @@ class DevBucket:
         return (
             self.slot_case, self.slot_val, self.seg_feat, self.seg_feat2,
             self.slab_start,
-        ), (self.width, self.slab, self.slice_store)
+        ), (self.width, self.slab, self.slice_store, self.dual_c)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             *children[:4], width=aux[0], slab_start=children[4],
-            slab=aux[1], slice_store=aux[2],
+            slab=aux[1], slice_store=aux[2], dual_c=aux[3],
         )
 
 
@@ -564,7 +571,8 @@ class MCMCVectorLearner(MCMCLearner):
         SLOT_BUDGET = self._slot_budget
         SEG_BUDGET = 8192  # segments per step (bounds the [C, d+1, d+1] temp)
 
-        def _put_bucket(b, sf2, pad_sf, pad_sf2=0, slice_store=False):
+        def _put_bucket(b, sf2, pad_sf, pad_sf2=0, slice_store=False,
+                        dual_c=0):
             """Chunk a host bucket for lax.scan. `sf2` is the secondary
             (dense-remapped) per-segment id array; `pad_sf` the feature
             sentinel used for padding segments; `pad_sf2` the sf2 pad
@@ -626,6 +634,7 @@ class MCMCVectorLearner(MCMCLearner):
                 seg_feat2=jnp.asarray(sf2),
                 width=b.width,
                 slice_store=slice_store,
+                dual_c=dual_c,
             )
 
         from libfm_tpu.data.vector_layout import WidthBucket as _WB
@@ -719,7 +728,7 @@ class MCMCVectorLearner(MCMCLearner):
             up_col, up_val = _dense_update_arrays(lay, F)
             # split into dual-eligible (whole single-segment features
             # drawn through the c x c Woodbury system) and dense buckets
-            dual_host, dense_host = [], []
+            dual_host, dense_host = [], []  # dual: (bucket, dual_c)
             for b in lay.buckets:
                 elig = (
                     np.asarray(b.seg_whole)
@@ -729,10 +738,22 @@ class MCMCVectorLearner(MCMCLearner):
                     else np.zeros(len(b.seg_feat), dtype=bool)
                 )
                 if elig.any():
-                    dual_host.append(_WB(
-                        b.width, b.slot_case[elig], b.slot_val[elig],
-                        b.seg_feat[elig], b.seg_whole[elig],
-                    ))
+                    # split by real-slot count: count<=2 segments (the
+                    # zipf tail majority at config #5) run the Woodbury
+                    # gram/Cholesky on a 2-slot window — measured
+                    # ceiling 0.82 s/iter (lv_dual_probe_r5.json)
+                    cseg = (b.slot_case != train.num_rows).sum(axis=1)
+                    c2 = (
+                        elig & (cseg <= 2)
+                        if getattr(self, "_dual_c2_split", True)
+                        else np.zeros_like(elig)
+                    )
+                    for msk, dc in ((c2, 2), (elig & ~c2, 0)):
+                        if msk.any():
+                            dual_host.append((_WB(
+                                b.width, b.slot_case[msk], b.slot_val[msk],
+                                b.seg_feat[msk], b.seg_whole[msk],
+                            ), dc))
                 if (~elig).any():
                     dense_host.append(_WB(
                         b.width, b.slot_case[~elig], b.slot_val[~elig],
@@ -742,7 +763,7 @@ class MCMCVectorLearner(MCMCLearner):
                         unique_feats=b.unique_feats,
                     ))
             feat_is_dual = np.zeros(F, dtype=bool)
-            for db in dual_host:
+            for db, _dc in dual_host:
                 feat_is_dual[db.seg_feat] = True
             dense_feats = np.nonzero(~feat_is_dual)[0].astype(np.int32)
             dense_map = np.zeros(F, dtype=np.int32)
@@ -796,7 +817,9 @@ class MCMCVectorLearner(MCMCLearner):
             if use_slab:
                 _mk = _put_slab_bucket
 
-                def _mk_dual(b, sf2, F=F):
+                def _mk_dual(b, sf2, dc, F=F):
+                    # slab form may reorder slots; the 2-slot window
+                    # assumption does not hold there — full width
                     return _put_slab_bucket(b, sf2, 0, pad_feat=F)
             else:
                 def _mk(b, sf2, pad_sf2):
@@ -814,8 +837,8 @@ class MCMCVectorLearner(MCMCLearner):
                         b, sf2, 0, pad_sf2=pad_sf2, slice_store=sl
                     )
 
-                def _mk_dual(b, sf2, F=F):
-                    return _put_bucket(b, sf2, F)
+                def _mk_dual(b, sf2, dc, F=F):
+                    return _put_bucket(b, sf2, F, dual_c=dc)
             dev_layouts.append(
                 DevLayout(
                     features=jnp.asarray(lay.features),
@@ -831,8 +854,8 @@ class MCMCVectorLearner(MCMCLearner):
                         for b in dense_host
                     ],
                     dual_buckets=[
-                        _mk_dual(b, b.seg_feat.copy())
-                        for b in dual_host
+                        _mk_dual(db, db.seg_feat.copy(), dc)
+                        for db, dc in dual_host
                     ],
                     dense_feats=jnp.asarray(dense_feats),
                     F=F,
@@ -1633,8 +1656,9 @@ class MCMCVectorLearner(MCMCLearner):
                 key, kb_ = jax.random.split(key)
                 ckeys = jax.random.split(kb_, nch)
                 _slab = b.slab
+                _dc = b.dual_c
 
-                def dual_chunk(carry, inp, _slab=_slab):
+                def dual_chunk(carry, inp, _slab=_slab, _dc=_dc):
                     th_buf, n_rej = carry
                     if _slab:
                         sc, sv, sf, ck, st = inp
@@ -1645,7 +1669,13 @@ class MCMCVectorLearner(MCMCLearner):
                         sc, sv, sf, ck = inp
                         A_src = None
                     e_slot, qp, h = _slot_hM(sc, sv, sf, A_src)  # h [C, W, d]
-                    if getattr(self, "_dual_slice_probe", 0):
+                    if _dc:
+                        # count<=_dc bucket: every real entry sits in
+                        # the first _dc slots (layout fill order); the
+                        # dropped slots are zero-payload padding
+                        h = h[:, :_dc]
+                        e_slot = e_slot[:, :_dc]
+                    elif getattr(self, "_dual_slice_probe", 0):
                         # profiling only (WRONG results for counts > c):
                         # ceiling of the closed-form count<=c dual idea —
                         # the W x W gram/Cholesky shrinks to c x c while

@@ -424,3 +424,29 @@ def test_slab_partition_roundtrip():
 # NEUTRAL on its designed config (#5 zipf heads, 5.7023 vs 5.7033
 # s/iter — studies/results/segcomb.json), so the gated lever and its
 # DevBucket fields were deleted (VERDICT r4 item 7).
+
+
+def test_dual_c2_split_exact_als():
+    """Round 5: the count<=2 dual bucket runs the Woodbury gram on a
+    2-slot window. Under ALS (deterministic draws) the split must give
+    the BITWISE-identical trajectory to the unsplit dual path — the
+    dropped slots are zero-payload padding."""
+    import numpy as np
+
+    from libfm_tpu.data.synth import ctr_like
+    from libfm_tpu.tasks import TASK_CLASSIFICATION
+
+    tr, te, g = ctr_like(
+        num_fields=4, field_cardinality=100, num_examples=2000, seed=1
+    )
+    res = {}
+    for split in (True, False):
+        l = MCMCVectorLearner(
+            FMConfig(num_features=tr.num_features, num_factors=40),
+            task=TASK_CLASSIFICATION, num_iter=5, seed=1, verbose=False,
+            attr_group=g, do_sample=False, do_multilevel=False,
+        )
+        l._dual_c2_split = split
+        l.learn(tr, te)
+        res[split] = [h["test_this"] for h in l.history]
+    assert np.allclose(res[True], res[False], atol=1e-7), res
