@@ -126,8 +126,9 @@ def bench_sgd(args):
             "(BENCHNOTES 'SGD scatter pipeline')",
             "quality_anchor": "time-to-quality is measured separately: "
             "at (lr=0.003, B=512) this engine reaches the reference "
-            "binary's converged RMSE 0.3427 in median 53 s wall vs the "
-            "reference's ~300 s — studies/results/"
+            "binary's converged RMSE 0.3427 in ~53 s wall vs the "
+            "reference's 41 s first crossing (300 s total run) — "
+            "near-parity, same converged band; studies/results/"
             "sgd_quality_report_r5_ml.json (r5; this throughput config "
             "at B=32768 does NOT converge to that RMSE)",
             "total_wall_s": round(time.time() - t0, 1),

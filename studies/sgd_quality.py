@@ -178,7 +178,15 @@ def phase_ours(config, seeds, iters, lr, bs):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     c = CONFIGS[config]
     train, test = _datasets(config)
+    # merge with prior runs (same settings): single-seed jobs survive
+    # tunnel hangs independently
     res = []
+    if os.path.exists(f"{c['work']}/ours_results.json"):
+        prior = json.load(open(f"{c['work']}/ours_results.json"))
+        res = [
+            r for r in prior
+            if r["lr"] == lr and r["bs"] == bs and r["seed"] not in seeds
+        ]
     for seed in seeds:
         r = _run_ours_one(config, train, test, seed, iters, lr, bs)
         res.append(r)
