@@ -507,6 +507,7 @@ def _single_rel_problem(seed=7, NB=60, W=5, NF=200, NTR=3000):
     return train, test, NF
 
 
+@pytest.mark.slow
 def test_bs_deferred_matches_per_iteration():
     """Round 5: the deferred fast-iteration path (frozen caches +
     cross-iteration SD, closed-form alpha/w0/metric sums, per-case work
