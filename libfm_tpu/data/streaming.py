@@ -26,9 +26,10 @@ device chunks incrementally, so the full host matrix never exists
 [e|Q] caches ARE resident in HBM (that is the engine's design — the
 reference's per-case `e_q_term cache[]` analog), so the per-CASE scale
 axis beyond one chip's HBM is the device mesh; the HOST-memory axis
-streams for every supported engine. The exact scalar engine
-(`-engine exact`) is the one path that still loads resident under
-`-cache_size` (README support matrix).
+streams for every supported engine, including `-engine exact` (blocks
+built from streamed `.xt` windows, COO uploaded window-by-window —
+`mcmc._build_layout_stream`) and SGDA's validation stream (README
+support matrix).
 """
 
 from __future__ import annotations
