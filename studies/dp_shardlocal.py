@@ -40,10 +40,13 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 
 def _pin_cpu(n=8):
-    import jax
-
+    # safe to call after the module-level `import jax`: the backend
+    # initialises lazily, on first device use
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", n)
 
@@ -241,9 +244,6 @@ from scaling_projection import collective_inventory  # noqa: E402
 
 def main():
     _pin_cpu(D_MESH)
-    global jax
-    import jax
-    import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     sid0, sid1, y, w, V = make_problem()
